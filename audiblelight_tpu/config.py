@@ -1,0 +1,114 @@
+"""Default configuration constants for the whole package.
+
+Mirrors the reference constants surface (reference: audiblelight/config.py:1-100) so
+that scenes built against the reference defaults render identically, while adding
+TPU-specific knobs (padding sizes, precision, device-mesh axis names) that the
+reference — a CPU library — has no analog for.
+"""
+
+# ---------------------------------------------------------------------------
+# Audio
+# ---------------------------------------------------------------------------
+SAMPLE_RATE = 44100
+BUFFER_SIZE = 8192
+FFT_SIZE = 512
+WIN_SIZE = 256
+HOP_SIZE = 128
+
+# ---------------------------------------------------------------------------
+# Video (kept for API parity; video rendering is an optional host-side module)
+# ---------------------------------------------------------------------------
+VIDEO_RESOLUTION = (1920, 960)  # width, height
+VIDEO_FPS = 10
+VIDEO_TEXTURE_DECIMATE = (536, 536)
+VIDEO_OVERLAY_DISTANCE_SCALE_FACTOR = 1.0
+VIDEO_OVERLAY_BASE_SIZE = 0.5
+
+# ---------------------------------------------------------------------------
+# Scene
+# ---------------------------------------------------------------------------
+SCENE_DURATION = 60
+DEFAULT_REF_DB = -65
+MIN_REF_DB, MAX_REF_DB = -80, -50
+MAX_OVERLAP = 2
+WARN_WHEN_SCENE_DURATION_BELOW = 5
+
+# ---------------------------------------------------------------------------
+# Event
+# ---------------------------------------------------------------------------
+MIN_EVENT_VELOCITY, MAX_EVENT_VELOCITY = 0.5, 2.0
+MIN_EVENT_RESOLUTION, MAX_EVENT_RESOLUTION = 1.0, 4.0
+MIN_EVENT_DURATION, MAX_EVENT_DURATION = 2.0, 10.0
+MIN_EVENT_SNR, MAX_EVENT_SNR = 5.0, 30.0
+DEFAULT_EVENT_VELOCITY = (MAX_EVENT_VELOCITY - MIN_EVENT_VELOCITY) / 2
+DEFAULT_EVENT_RESOLUTION = (MAX_EVENT_RESOLUTION - MIN_EVENT_RESOLUTION) / 2
+DEFAULT_EVENT_DURATION = (MAX_EVENT_DURATION - MIN_EVENT_DURATION) / 2
+DEFAULT_EVENT_SNR = (MAX_EVENT_SNR - MIN_EVENT_SNR) / 2
+
+# ---------------------------------------------------------------------------
+# WorldState
+# ---------------------------------------------------------------------------
+DEFAULT_BACKEND = "rlr"
+MESH_UNITS = "meters"
+MIN_AVG_RAY_LENGTH = 3.0
+NUM_RAYS = 100
+POINT_BATCH_SIZE = 10
+EMPTY_SPACE_AROUND_EMITTER = 0.2
+EMPTY_SPACE_AROUND_MIC = 0.1
+EMPTY_SPACE_AROUND_SURFACE = 0.2
+EMPTY_SPACE_AROUND_CAPSULE = 0.05
+WARN_WHEN_RAY_EFFICIENCY_BELOW = 0.5
+MAX_PLACE_ATTEMPTS = 1000
+
+# ---------------------------------------------------------------------------
+# Benchmarking settings
+# ---------------------------------------------------------------------------
+MIN_STATIC_EVENTS, MAX_STATIC_EVENTS = 1, 10
+MIN_MOVING_EVENTS, MAX_MOVING_EVENTS = 0, 6
+MOVING_EVENT_SHAPES = ["random", "linear", "semicircular"]
+DEFAULT_STATIC_EVENTS = 4
+DEFAULT_MOVING_EVENTS = 1
+MIC_ARRAY_TYPE = "ambeovr"
+DEFAULT_CHANNEL_LAYOUT = "mic"
+N_SCENES = 1000
+
+# ---------------------------------------------------------------------------
+# Acoustic imaging (APGD)
+# ---------------------------------------------------------------------------
+AIMG_FMIN, AIMG_FMAX = 1500, 4500
+AIMG_NBANDS = 9
+AIMG_SCALE = "linear"
+AIMG_BANDWIDTH = 50.0
+AIMG_TSTI = 10e-3
+AIMG_FRAME_CAP = None
+AIMG_SH_ORDER = 10
+AIMG_CIRCLE_RADIUS_DEG = 20
+AIMG_POLYGON_MASK_THRESHOLD = 4e-5
+AIMG_RESOLUTION = 360, 180
+AIMG_N_JOBS = -1
+AIMG_VERBOSITY = 50
+# Amplitude distribution of the real STARSS23 training data; used to standardise
+# amplitude values for synthetic data. Must not be changed (reference config.py:97-100).
+AIMG_STARSS23_MU, AIMG_STARSS23_SIGMA = 0.0006131814582534336, 0.00048684798377322537
+
+# ---------------------------------------------------------------------------
+# TPU-specific configuration (no reference analog)
+# ---------------------------------------------------------------------------
+# Padded tensor sizes used when compiling a Scene into a fixed-shape render plan.
+# XLA traces one program per unique shape; keeping these padded keeps recompiles rare.
+MAX_EVENTS_PER_SCENE = 16
+MAX_EMITTERS_PER_EVENT = 64  # trajectory points for moving events
+MAX_IR_SECONDS = 1.0  # default simulated IR length kept on device
+# Ray tracer defaults (mirrors the semantics of the reference's rlr config surface,
+# reference tests/test_worldstate_rlr.py:810-835; values re-tuned for the JAX engine).
+RAY_TRACER_DIRECT_RAY_COUNT = 500
+RAY_TRACER_INDIRECT_RAY_COUNT = 5000
+RAY_TRACER_INDIRECT_RAY_DEPTH = 200
+RAY_TRACER_DIRECT_SH_ORDER = 3
+RAY_TRACER_INDIRECT_SH_ORDER = 1
+RAY_TRACER_FREQUENCY_BANDS = 4
+RAY_TRACER_MAX_IR_LENGTH = 4.0
+SPEED_OF_SOUND = 343.0
+# Device-mesh axis names used by audiblelight_tpu.parallel
+MESH_AXIS_SCENE = "scene"  # data-parallel axis over scenes
+MESH_AXIS_TIME = "time"  # within-scene axis (time blocks / capsule groups)
