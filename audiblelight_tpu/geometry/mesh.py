@@ -1,0 +1,344 @@
+"""Host-side triangle mesh: loading (GLB/OBJ/PLY), metadata, repair, generation.
+
+TPU-native replacement for the reference's trimesh usage (worldstate.py:51-97): the
+host keeps a lightweight numpy triangle soup and hands padded device arrays to the
+JAX query/ray-trace kernels. Units are coerced to metres on load (glTF is metres by
+spec; OBJ/PLY have no unit metadata and are assumed metres, with a heuristic warning
+for likely millimetre/centimetre scans).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+from audiblelight_tpu import config, utils
+from audiblelight_tpu.utils import logger
+
+
+class TriMesh:
+    """An indexed triangle mesh with cached derived quantities."""
+
+    def __init__(
+        self,
+        vertices: np.ndarray,
+        faces: np.ndarray,
+        metadata: Optional[dict] = None,
+        units: str = config.MESH_UNITS,
+    ):
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        self.faces = np.asarray(faces, dtype=np.int32)
+        if self.vertices.ndim != 2 or self.vertices.shape[1] != 3:
+            raise ValueError(f"vertices must be (V, 3), got {self.vertices.shape}")
+        if self.faces.ndim != 2 or self.faces.shape[1] != 3:
+            raise ValueError(f"faces must be (F, 3), got {self.faces.shape}")
+        self.metadata = metadata or {}
+        self.units = units
+        self._tri_cache = None
+
+    # ------------------------------------------------------------------
+    # Derived quantities
+    # ------------------------------------------------------------------
+
+    @property
+    def triangles(self) -> np.ndarray:
+        """(F, 3, 3) triangle vertex array."""
+        if self._tri_cache is None or self._tri_cache.shape[0] != len(self.faces):
+            self._tri_cache = self.vertices[self.faces]
+        return self._tri_cache
+
+    @property
+    def bounds(self) -> np.ndarray:
+        """(2, 3) [min; max] axis-aligned bounds."""
+        return np.stack([self.vertices.min(axis=0), self.vertices.max(axis=0)])
+
+    @property
+    def centroid(self) -> np.ndarray:
+        """Mean of the axis-aligned bounds (matches trimesh's bounding-box centroid
+        closely enough for placement heuristics)."""
+        return self.vertices.mean(axis=0)
+
+    @property
+    def face_normals(self) -> np.ndarray:
+        """(F, 3) unit face normals."""
+        tri = self.triangles
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        return n / np.maximum(norm, 1e-30)
+
+    @property
+    def face_areas(self) -> np.ndarray:
+        """(F,) triangle areas."""
+        tri = self.triangles
+        return 0.5 * np.linalg.norm(
+            np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+        )
+
+    @property
+    def area(self) -> float:
+        return float(self.face_areas.sum())
+
+    def _edge_counts(self) -> dict:
+        """Count occurrences of each undirected edge."""
+        f = self.faces
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        return counts
+
+    @property
+    def is_watertight(self) -> bool:
+        """True when every edge is shared by exactly two faces."""
+        if len(self.faces) == 0:
+            return False
+        return bool(np.all(self._edge_counts() == 2))
+
+    def broken_faces(self) -> np.ndarray:
+        """Indices of faces containing a boundary (non-manifold) edge."""
+        f = self.faces
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        edges_sorted = np.sort(edges, axis=1)
+        uniq, inverse, counts = np.unique(
+            edges_sorted, axis=0, return_inverse=True, return_counts=True
+        )
+        bad_edge = counts[inverse] != 2  # per concatenated-edge flag
+        bad_face = bad_edge.reshape(3, len(f)).any(axis=0)
+        return np.flatnonzero(bad_face)
+
+    # ------------------------------------------------------------------
+    # Repair
+    # ------------------------------------------------------------------
+
+    def remove_degenerate_faces(self) -> int:
+        """Drop zero-area faces in place; returns number removed."""
+        keep = self.face_areas > 1e-12
+        removed = int((~keep).sum())
+        if removed:
+            self.faces = self.faces[keep]
+            self._tri_cache = None
+        return removed
+
+    def fix_winding(self) -> None:
+        """Orient faces consistently by propagating winding across shared edges."""
+        f = self.faces
+        n_faces = len(f)
+        if n_faces == 0:
+            return
+        # Build edge -> face adjacency
+        edge_map: dict = {}
+        for fi in range(n_faces):
+            for a, b in ((f[fi, 0], f[fi, 1]), (f[fi, 1], f[fi, 2]), (f[fi, 2], f[fi, 0])):
+                edge_map.setdefault((min(a, b), max(a, b)), []).append((fi, a, b))
+
+        visited = np.zeros(n_faces, dtype=bool)
+        flip = np.zeros(n_faces, dtype=bool)
+        for seed in range(n_faces):
+            if visited[seed]:
+                continue
+            stack = [seed]
+            visited[seed] = True
+            while stack:
+                fi = stack.pop()
+                fa = f[fi]
+                if flip[fi]:
+                    fa = fa[::-1]
+                directed = {(fa[0], fa[1]), (fa[1], fa[2]), (fa[2], fa[0])}
+                for a, b in ((fa[0], fa[1]), (fa[1], fa[2]), (fa[2], fa[0])):
+                    for fj, ja, jb in edge_map.get((min(a, b), max(a, b)), []):
+                        if fj == fi or visited[fj]:
+                            continue
+                        fb = f[fj]
+                        jdir = (ja, jb)
+                        # Coherent winding: shared edge traversed in opposite
+                        # directions by its two faces.
+                        if jdir in directed:
+                            flip[fj] = True
+                        visited[fj] = True
+                        stack.append(fj)
+        if flip.any():
+            self.faces[flip] = self.faces[flip][:, ::-1]
+            self._tri_cache = None
+
+    def repair(self) -> None:
+        """Best-effort in-place repair: degenerate removal + winding fix."""
+        self.remove_degenerate_faces()
+        self.fix_winding()
+        logger.info(f"Broken faces after repair: {len(self.broken_faces())}")
+
+    # ------------------------------------------------------------------
+    # Sampling helpers
+    # ------------------------------------------------------------------
+
+    def sample_surface(self, n: int, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """Sample `n` points uniformly from the mesh surface (area-weighted)."""
+        rand = rng if rng is not None else np.random.default_rng()
+        areas = self.face_areas
+        probs = areas / areas.sum()
+        face_idx = rand.choice(len(self.faces), size=n, p=probs)
+        tri = self.triangles[face_idx]
+        u = rand.uniform(size=(n, 1))
+        v = rand.uniform(size=(n, 1))
+        over = (u + v) > 1
+        u = np.where(over, 1 - u, u)
+        v = np.where(over, 1 - v, v)
+        return tri[:, 0] + u * (tri[:, 1] - tri[:, 0]) + v * (tri[:, 2] - tri[:, 0])
+
+    def scaled(self, factor: float) -> "TriMesh":
+        """Return a copy with vertices scaled by `factor`."""
+        return TriMesh(self.vertices * factor, self.faces.copy(), dict(self.metadata))
+
+    def __repr__(self) -> str:
+        return (
+            f"TriMesh(V={len(self.vertices)}, F={len(self.faces)}, "
+            f"bounds={np.round(self.bounds, 3).tolist()})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Loaders
+# ---------------------------------------------------------------------------
+
+
+def _load_obj(path: Path) -> tuple[np.ndarray, np.ndarray]:
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                # fan-triangulate polygons
+                for i in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    return np.asarray(verts, dtype=np.float64), np.asarray(faces, dtype=np.int32)
+
+
+def _load_ply(path: Path) -> tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        header_lines = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header_lines.append(line)
+            if line == "end_header":
+                break
+        n_verts = n_faces = 0
+        fmt = "ascii"
+        props = []
+        current = None
+        for line in header_lines:
+            toks = line.split()
+            if not toks:
+                continue
+            if toks[0] == "format":
+                fmt = toks[1]
+            elif toks[0] == "element":
+                current = toks[1]
+                if current == "vertex":
+                    n_verts = int(toks[2])
+                elif current == "face":
+                    n_faces = int(toks[2])
+            elif toks[0] == "property" and current == "vertex":
+                props.append((toks[-1], toks[1]))
+
+        if fmt == "ascii":
+            verts = []
+            for _ in range(n_verts):
+                vals = f.readline().split()
+                verts.append([float(vals[i]) for i, (nm, _) in enumerate(props) if nm in "xyz"][:3])
+            faces = []
+            for _ in range(n_faces):
+                vals = [int(x) for x in f.readline().split()]
+                cnt, idx = vals[0], vals[1:]
+                for i in range(1, cnt - 1):
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+            return np.asarray(verts), np.asarray(faces, dtype=np.int32)
+
+        # binary little endian: support common float/uchar layouts
+        type_map = {
+            "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "<i2", "ushort": "<u2", "int": "<i4", "int32": "<i4",
+            "uint": "<u4", "uint32": "<u4",
+        }
+        dtype = np.dtype([(nm, type_map[tp]) for nm, tp in props])
+        vdata = np.frombuffer(f.read(dtype.itemsize * n_verts), dtype=dtype)
+        verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], axis=1).astype(np.float64)
+        faces = []
+        for _ in range(n_faces):
+            cnt = np.frombuffer(f.read(1), dtype=np.uint8)[0]
+            idx = np.frombuffer(f.read(4 * cnt), dtype="<i4")
+            for i in range(1, cnt - 1):
+                faces.append([idx[0], idx[i], idx[i + 1]])
+        return verts, np.asarray(faces, dtype=np.int32)
+
+
+def load_mesh(mesh_fpath: Union[str, Path]) -> TriMesh:
+    """Load a mesh from disk (glb/gltf/obj/ply) and coerce units to metres.
+
+    Mirrors the semantics of reference worldstate.py:51-71: metadata carries the
+    filename/filetype/filepath; a heuristic warns (and rescales) when a mesh looks
+    like it is in millimetres.
+    """
+    mesh_fpath = utils.sanitise_filepath(mesh_fpath)
+    suffix = mesh_fpath.suffix.lower()
+    if suffix in (".glb", ".gltf"):
+        from audiblelight_tpu.io.gltf import load_gltf
+
+        vertices, faces = load_gltf(mesh_fpath)
+    elif suffix == ".obj":
+        vertices, faces = _load_obj(mesh_fpath)
+    elif suffix == ".ply":
+        vertices, faces = _load_ply(mesh_fpath)
+    else:
+        raise ValueError(f"Unsupported mesh format: {suffix}")
+
+    mesh = TriMesh(
+        vertices,
+        faces,
+        metadata=dict(fname=mesh_fpath.stem, ftype=mesh_fpath.suffix, fpath=str(mesh_fpath)),
+    )
+
+    # Unit coercion heuristic for unit-less formats: a building scan larger than
+    # 1000 m across is almost certainly millimetres.
+    if suffix in (".obj", ".ply"):
+        extent = np.max(mesh.bounds[1] - mesh.bounds[0])
+        if extent > 1000.0:
+            logger.warning(
+                f"Mesh {mesh_fpath.stem} spans {extent:.0f} units; assuming millimetres "
+                f"and converting to {config.MESH_UNITS}"
+            )
+            mesh.vertices = mesh.vertices / 1000.0
+            mesh._tri_cache = None
+    return mesh
+
+
+def box_mesh(
+    extents: Union[list, np.ndarray] = (1.0, 1.0, 1.0),
+    center: Union[list, np.ndarray] = (0.0, 0.0, 0.0),
+    inward_normals: bool = True,
+) -> TriMesh:
+    """An axis-aligned box (12 triangles). With `inward_normals` the box encloses an
+    interior acoustic volume (a shoebox room); otherwise it is a solid."""
+    ex = np.asarray(extents, dtype=float) / 2.0
+    c = np.asarray(center, dtype=float)
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], dtype=float
+    )
+    vertices = corners * ex + c
+    # Outward-wound faces of the unit box (corner indexing: bit2=x, bit1=y, bit0=z)
+    faces = np.array(
+        [
+            [0, 1, 3], [0, 3, 2],  # -x
+            [4, 6, 7], [4, 7, 5],  # +x
+            [0, 4, 5], [0, 5, 1],  # -y
+            [2, 3, 7], [2, 7, 6],  # +y
+            [0, 2, 6], [0, 6, 4],  # -z
+            [1, 5, 7], [1, 7, 3],  # +z
+        ],
+        dtype=np.int32,
+    )
+    if inward_normals:
+        faces = faces[:, ::-1]
+    return TriMesh(vertices, faces, metadata=dict(fname="box", ftype="generated", fpath="box"))

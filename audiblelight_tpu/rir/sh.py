@@ -1,0 +1,85 @@
+"""Real spherical harmonics and receiver encodings (AmbiX FOA, binaural approx).
+
+Receiver-side directivity for the RIR engines. The FOA path follows the AmbiX
+convention (ACN ordering, SN3D normalisation) matching the reference's Ambisonics
+channel layout (reference micarrays.py:68-86: W, X, Y, Z capsule names).
+
+Coordinate convention matches utils.polar_to_cartesian: +x front, +y left, +z up.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sh_real(order: int, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Real SH basis values (ACN order, SN3D norm) for unit direction vectors.
+
+    Arguments:
+        order: maximum SH order (0..3 supported).
+        dirs: (..., 3) unit direction vectors.
+
+    Returns:
+        (..., (order+1)^2) SH values.
+    """
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    comps = [jnp.ones_like(x)]  # ACN 0: W
+    if order >= 1:
+        comps += [y, z, x]  # ACN 1..3 (SN3D): Y, Z, X
+    if order >= 2:
+        s3 = jnp.sqrt(3.0) / 2.0
+        comps += [
+            2.0 * s3 * x * y,  # ACN 4
+            2.0 * s3 * y * z,  # ACN 5
+            0.5 * (3.0 * z * z - 1.0),  # ACN 6
+            2.0 * s3 * x * z,  # ACN 7
+            s3 * (x * x - y * y),  # ACN 8
+        ]
+    if order >= 3:
+        s5_8 = jnp.sqrt(5.0 / 8.0)
+        s15_2 = jnp.sqrt(15.0) / 2.0
+        s3_8 = jnp.sqrt(3.0 / 8.0)
+        comps += [
+            s5_8 * y * (3 * x * x - y * y),  # ACN 9
+            2.0 * s15_2 * x * y * z,  # ACN 10
+            s3_8 * y * (5 * z * z - 1.0),  # ACN 11
+            0.5 * z * (5 * z * z - 3.0),  # ACN 12
+            s3_8 * x * (5 * z * z - 1.0),  # ACN 13
+            s15_2 * z * (x * x - y * y),  # ACN 14
+            s5_8 * x * (x * x - 3 * y * y),  # ACN 15
+        ]
+    if order > 3:
+        raise NotImplementedError("SH orders above 3 are not implemented")
+    return jnp.stack(comps, axis=-1)
+
+
+def foa_encoding_gains(dirs: jnp.ndarray) -> jnp.ndarray:
+    """AmbiX (SN3D) first-order gains (W, X, Y, Z) for arrival directions.
+
+    Channel ordering matches the reference FOAListener capsule names
+    ["w", "x", "y", "z"] (micarrays.py:393), i.e. W then the *cartesian* dipoles.
+
+    Arguments:
+        dirs: (..., 3) unit vectors pointing from receiver toward the source.
+
+    Returns:
+        (..., 4) per-channel gains.
+    """
+    sh = sh_real(1, dirs)  # ACN: [W, Y, Z, X]
+    return jnp.stack([sh[..., 0], sh[..., 3], sh[..., 1], sh[..., 2]], axis=-1)
+
+
+def binaural_encoding_gains(dirs: jnp.ndarray) -> jnp.ndarray:
+    """Simple 2-channel (left, right) head-shadow gains for arrival directions.
+
+    A cardioid-weighted approximation (no HRTF measurement data): each ear is a
+    cardioid aimed at +-90 degrees azimuth. Sufficient for level-difference cues;
+    full HRTF convolution can be layered on later.
+
+    Returns:
+        (..., 2) gains ordered [left, right].
+    """
+    y = dirs[..., 1]
+    left = 0.5 * (1.0 + y)
+    right = 0.5 * (1.0 - y)
+    return jnp.stack([left, right], axis=-1)

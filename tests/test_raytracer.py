@@ -1,0 +1,193 @@
+"""Physics tests for the stochastic ray tracer, using the shoebox as oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiblelight_tpu.geometry import box_mesh
+from audiblelight_tpu.rir.raytracer import (
+    direct_path_ir,
+    trace_energy_histogram,
+    trace_rirs,
+)
+
+SR = 44100
+C = 343.0
+ROOM = np.array([6.0, 4.0, 3.0])
+
+
+def make_scene(alpha=0.3, scattering=1.0, n_bands=1):
+    mesh = box_mesh(extents=ROOM, center=ROOM / 2)
+    tris = jnp.asarray(mesh.triangles.astype(np.float32))
+    absorption = jnp.full((len(mesh.faces), n_bands), alpha, dtype=jnp.float32)
+    scatter = jnp.full(len(mesh.faces), scattering, dtype=jnp.float32)
+    return tris, absorption, scatter
+
+
+def test_direct_path_exact():
+    tris, _, _ = make_scene()
+    src = jnp.asarray([4.0, 2.0, 1.5])
+    mic = jnp.asarray([[1.0, 2.0, 1.5]])  # 3 m away
+    ir = np.asarray(direct_path_ir(tris, src, mic, n_samples=4096, sr=SR))
+    assert ir.shape == (1, 4096)
+    peak = np.argmax(np.abs(ir[0]))
+    assert abs(peak - 3.0 / C * SR) <= 1
+    energy_amp = np.sqrt(np.sum(ir[0] ** 2))
+    assert np.isclose(energy_amp, 1 / (4 * np.pi * 3.0), rtol=0.05)
+
+
+def test_direct_path_occluded():
+    # Obstacle between source and mic
+    mesh = box_mesh(extents=ROOM, center=ROOM / 2)
+    obstacle = box_mesh(extents=[0.5, 2.0, 2.0], center=[3.0, 2.0, 1.0], inward_normals=False)
+    tris = jnp.asarray(
+        np.concatenate([mesh.triangles, obstacle.triangles]).astype(np.float32)
+    )
+    src = jnp.asarray([4.5, 2.0, 1.0])
+    mic = jnp.asarray([[1.5, 2.0, 1.0]])
+    ir = np.asarray(direct_path_ir(tris, src, mic, n_samples=4096, sr=SR))
+    assert np.abs(ir).max() < 1e-9  # fully occluded
+
+
+def test_histogram_energy_decay():
+    """The reverberant energy histogram must decay roughly exponentially."""
+    tris, absorption, scatter = make_scene(alpha=0.3)
+    hist = np.asarray(
+        trace_energy_histogram(
+            jax.random.PRNGKey(0),
+            tris,
+            absorption,
+            scatter,
+            jnp.asarray([2.0, 1.0, 1.2]),
+            jnp.asarray([[4.5, 3.0, 1.8]]),
+            n_rays=2000,
+            max_depth=60,
+            n_bins=256,
+            bin_dt=0.002,
+        )
+    )
+    assert hist.shape == (1, 1, 256)
+    e = hist[0, 0]
+    assert e.sum() > 0
+    # Compare decay rate in dB/s against Eyring (diffuse tracer ~ diffuse theory)
+    t = (np.arange(256) + 0.5) * 0.002
+    sel = (e > 0) & (t > 0.02) & (t < 0.25)
+    db = 10 * np.log10(e[sel])
+    slope, _ = np.polyfit(t[sel], db, 1)  # dB per second
+    rt60_sim = -60.0 / slope
+
+    v = ROOM.prod()
+    s = 2 * (ROOM[0] * ROOM[1] + ROOM[0] * ROOM[2] + ROOM[1] * ROOM[2])
+    rt60_eyring = 0.161 * v / (-s * np.log(1 - 0.3))
+    assert abs(rt60_sim - rt60_eyring) / rt60_eyring < 0.25
+
+
+def test_full_rir_shape_and_direct():
+    tris, absorption, scatter = make_scene(alpha=0.4)
+    src = jnp.asarray([4.0, 2.0, 1.5])
+    mics = jnp.asarray([[1.0, 2.0, 1.5], [1.5, 3.0, 1.0]])
+    ir = np.asarray(
+        trace_rirs(
+            jax.random.PRNGKey(1),
+            tris,
+            absorption,
+            scatter,
+            src,
+            mics,
+            n_samples=SR // 2,
+            sr=SR,
+            n_rays=1000,
+            max_depth=40,
+        )
+    )
+    assert ir.shape == (2, SR // 2)
+    # Direct-path peak for mic 0 at 3 m
+    peak = np.argmax(np.abs(ir[0, : int(0.02 * SR)]))
+    assert abs(peak - 3.0 / C * SR) <= 2
+    # Tail exists (reverb energy beyond the direct pulse) and decays monotonically
+    seg = lambda i: np.sum(ir[0, i * SR // 16 : (i + 1) * SR // 16] ** 2)
+    assert seg(1) > 0  # reverberant tail present
+    assert seg(0) > seg(1) > seg(2)  # strictly decaying
+
+
+def test_foa_rir_directionality():
+    tris, absorption, scatter = make_scene(alpha=0.9)
+    src = jnp.asarray([5.0, 2.0, 1.5])  # +x of listener
+    mic = jnp.asarray([[2.0, 2.0, 1.5]])
+    ir = np.asarray(
+        trace_rirs(
+            jax.random.PRNGKey(2),
+            tris,
+            absorption,
+            scatter,
+            src,
+            mic,
+            n_samples=SR // 4,
+            sr=SR,
+            n_rays=500,
+            max_depth=20,
+            encoding="foa",
+        )
+    )
+    assert ir.shape == (4, SR // 4)
+    # Direct path dominates with high absorption: X ~ W, |Y|,|Z| small
+    n_direct = int(0.015 * SR)
+    w = np.abs(ir[0, :n_direct]).max()
+    x = np.abs(ir[1, :n_direct]).max()
+    y = np.abs(ir[2, :n_direct]).max()
+    z = np.abs(ir[3, :n_direct]).max()
+    assert np.isclose(x / w, 1.0, atol=0.1)
+    assert y < 0.15 * w and z < 0.15 * w
+
+
+def test_total_energy_against_ism():
+    """Reverberant energy level from the tracer should match the image-source
+    engine for the same shoebox, within stochastic tolerance."""
+    from audiblelight_tpu.rir.image_source import (
+        shoebox_rirs,
+        wall_log_betas_from_absorption,
+    )
+
+    alpha = 0.35
+    src = np.array([2.0, 1.0, 1.2])
+    mic = np.array([[4.5, 3.0, 1.8]])
+    n_samples = SR // 2
+
+    tris, absorption, scatter = make_scene(alpha=alpha)
+    ir_rt = np.asarray(
+        trace_rirs(
+            jax.random.PRNGKey(3),
+            tris,
+            absorption,
+            scatter,
+            jnp.asarray(src),
+            jnp.asarray(mic),
+            n_samples=n_samples,
+            sr=SR,
+            n_rays=4000,
+            max_depth=60,
+        )
+    )[0]
+
+    log_beta, freqs = wall_log_betas_from_absorption(alpha, n_bands=1)
+    ir_ism = np.asarray(
+        shoebox_rirs(
+            jnp.asarray(ROOM),
+            jnp.asarray(src[None]),
+            jnp.asarray(mic),
+            jnp.asarray(log_beta),
+            jnp.asarray(freqs),
+            n_samples=n_samples,
+            max_order=14,
+            sr=SR,
+        )
+    )[0, 0]
+
+    e_rt = np.sum(ir_rt**2)
+    e_ism = np.sum(ir_ism**2)
+    # The two engines model reflections differently (fully-diffuse Lambertian
+    # tracer vs fully-specular ISM), which shifts total reverberant energy by a
+    # few dB even when decay rates agree; assert the same order of magnitude.
+    assert 0.2 < e_rt / e_ism < 5.0
