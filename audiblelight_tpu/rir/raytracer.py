@@ -402,9 +402,59 @@ def trace_rirs(
     return tail + direct
 
 
+def trace_rirs_multi(
+    key: jax.Array,
+    tris: jnp.ndarray,
+    face_absorption: jnp.ndarray,
+    face_scattering: jnp.ndarray,
+    source_positions: jnp.ndarray,
+    listener_pos: jnp.ndarray,
+    n_samples: int,
+    sr: int = config.SAMPLE_RATE,
+    n_rays: int = 2000,
+    max_depth: int = 50,
+    bin_dt: float = 0.002,
+    c: float = config.SPEED_OF_SOUND,
+    encoding: str = "omni",
+    face_chunk: int = 4096,
+) -> jnp.ndarray:
+    """RIRs for a batch of sources against one listener group.
+
+    Sources are processed sequentially under lax.map (bounding the per-step ray
+    working set to one source), each step fully vectorised across rays, listeners
+    and bands. Returns (C_out, E, n_samples).
+    """
+    source_positions = jnp.atleast_2d(source_positions)
+    n_sources = source_positions.shape[0]
+    keys = jax.random.split(key, n_sources)
+
+    def one_source(inputs):
+        k, src = inputs
+        return trace_rirs(
+            k,
+            tris,
+            face_absorption,
+            face_scattering,
+            src,
+            listener_pos,
+            n_samples=n_samples,
+            sr=sr,
+            n_rays=n_rays,
+            max_depth=max_depth,
+            bin_dt=bin_dt,
+            c=c,
+            encoding=encoding,
+            face_chunk=face_chunk,
+        )
+
+    irs = jax.lax.map(one_source, (keys, source_positions))  # (E, C_out, S)
+    return jnp.moveaxis(irs, 0, 1)
+
+
 __all__ = [
     "trace_energy_histogram",
     "synthesize_ir_from_histogram",
     "direct_path_ir",
     "trace_rirs",
+    "trace_rirs_multi",
 ]
