@@ -37,6 +37,15 @@ def pad_triangles(tris: np.ndarray, multiple: int = 512) -> np.ndarray:
     return np.concatenate([tris, pad], axis=0)
 
 
+def _effective_chunk(n_faces: int, face_chunk: int) -> int:
+    """Face-chunk size bounded by the (128-aligned) actual face count.
+
+    Without this, a 12-triangle room padded to a 4096-face chunk makes every
+    (rays x faces) intermediate ~340x larger than needed.
+    """
+    aligned = max(128, ((n_faces + 127) // 128) * 128)
+    return min(face_chunk, aligned)
+
 def _ray_tri_t(origins, dirs, tri_a, tri_e1, tri_e2):
     """Moller-Trumbore: intersection parameter t for rays x triangles.
 
@@ -69,6 +78,7 @@ def ray_crossing_counts(points: jnp.ndarray, tris: jnp.ndarray, face_chunk: int 
     d = jnp.broadcast_to(jnp.asarray(_PARITY_DIR, dtype=points.dtype), points.shape)
 
     f = tris.shape[0]
+    face_chunk = _effective_chunk(f, face_chunk)
     n_chunks = max(1, -(-f // face_chunk))
     pad_to = n_chunks * face_chunk
     tris_p = jnp.pad(tris, ((0, pad_to - f), (0, 0), (0, 0)), constant_values=PAD_DISTANCE)
@@ -107,6 +117,7 @@ def nearest_surface_distance(
     points = jnp.atleast_2d(points)
 
     f = tris.shape[0]
+    face_chunk = _effective_chunk(f, face_chunk)
     n_chunks = max(1, -(-f // face_chunk))
     pad_to = n_chunks * face_chunk
     tris_p = jnp.pad(tris, ((0, pad_to - f), (0, 0), (0, 0)), constant_values=PAD_DISTANCE)
@@ -190,6 +201,7 @@ def segments_occluded(
     dirs = seg / jnp.maximum(length, _EPS)
 
     f = tris.shape[0]
+    face_chunk = _effective_chunk(f, face_chunk)
     n_chunks = max(1, -(-f // face_chunk))
     pad_to = n_chunks * face_chunk
     tris_p = jnp.pad(tris, ((0, pad_to - f), (0, 0), (0, 0)), constant_values=PAD_DISTANCE)
@@ -223,6 +235,7 @@ def ray_mesh_first_hit(
     dirs = jnp.atleast_2d(dirs)
 
     f = tris.shape[0]
+    face_chunk = _effective_chunk(f, face_chunk)
     n_chunks = max(1, -(-f // face_chunk))
     pad_to = n_chunks * face_chunk
     tris_p = jnp.pad(tris, ((0, pad_to - f), (0, 0), (0, 0)), constant_values=PAD_DISTANCE)

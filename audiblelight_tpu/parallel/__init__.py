@@ -1,0 +1,116 @@
+"""Multi-chip scale-out: device meshes + sharded scene-batch rendering.
+
+The reference scales dataset generation with a serial per-scene Python loop
+(reference scripts/seld/generate_dataset.py:330-376). Here the scale-out unit is
+a *batch of compiled scene plans*: vmap renders B scenes in one program, and
+`shard_render` partitions that batch over a jax.sharding.Mesh — scenes across the
+"scene" axis (data parallel) and output channels across the "chan" axis (the
+tensor-parallel analog for this workload), with XLA inserting any collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from audiblelight_tpu.render import ScenePlan, render_scene_arrays
+
+_PLAN_FIELDS = [
+    "static_audio",
+    "static_irs",
+    "static_mask",
+    "static_snr",
+    "static_start",
+    "static_len",
+    "static_place_len",
+    "moving_audio",
+    "moving_irs",
+    "moving_w",
+    "moving_mask",
+    "moving_snr",
+    "moving_start",
+    "moving_len",
+    "moving_place_len",
+    "ambience",
+    "ref_db",
+]
+
+
+def make_mesh(
+    n_scene: Optional[int] = None, n_chan: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """A (scene, chan) device mesh. Defaults to all devices on the scene axis."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_scene is None:
+        n_scene = len(devices) // n_chan
+    dev_array = np.asarray(devices[: n_scene * n_chan]).reshape(n_scene, n_chan)
+    return Mesh(dev_array, ("scene", "chan"))
+
+
+def stack_plans(plans: Sequence[ScenePlan]) -> dict:
+    """Stack equal-shape ScenePlans into batched arrays (leading scene axis)."""
+    shapes = {f: getattr(plans[0], f).shape for f in _PLAN_FIELDS}
+    for p in plans[1:]:
+        for f in _PLAN_FIELDS:
+            if getattr(p, f).shape != shapes[f]:
+                raise ValueError(
+                    f"Plan field {f} has mismatched shape {getattr(p, f).shape} vs {shapes[f]}; "
+                    f"build plans with identical bucket sizes to batch them."
+                )
+    batched = {f: jnp.stack([getattr(p, f) for p in plans]) for f in _PLAN_FIELDS}
+    batched["n_scene_samples"] = plans[0].n_scene_samples
+    return batched
+
+
+def render_batch(batched: dict) -> jnp.ndarray:
+    """Render a stacked batch of plans: returns (B, C, T)."""
+    n_t = batched["n_scene_samples"]
+    args = [batched[f] for f in _PLAN_FIELDS]
+    return jax.vmap(lambda *a: render_scene_arrays(*a, n_scene_samples=n_t))(*args)
+
+
+def shard_render(batched: dict, mesh: Mesh, normalize: bool = False) -> jnp.ndarray:
+    """Render a batch with scenes sharded over the mesh's "scene" axis (SPMD via
+    shard_map: each device renders its local slice of the scene batch with the
+    single-scene compiled program).
+
+    With `normalize=True` the whole batch is scaled by its global peak — a
+    `pmax` collective across both mesh axes (used by the multi-chip dry run to
+    exercise real cross-chip communication).
+
+    Returns (B, C, T) device output, sharded over "scene".
+    """
+    n_t = batched["n_scene_samples"]
+    total_devices = mesh.shape["scene"] * mesh.shape["chan"]
+    b = batched["static_audio"].shape[0]
+    if b % total_devices != 0:
+        raise ValueError(f"Batch size {b} must be divisible by mesh size {total_devices}")
+
+    in_specs = tuple(P(("scene", "chan")) for _ in _PLAN_FIELDS)
+    out_specs = P(("scene", "chan"))
+
+    def _render_local(*args):
+        out = jax.vmap(lambda *a: render_scene_arrays(*a, n_scene_samples=n_t))(*args)
+        if normalize:
+            # Cross-chip all-reduce of the batch peak over both mesh axes.
+            global_peak = jax.lax.pmax(jnp.max(jnp.abs(out)), ("scene", "chan"))
+            out = out / jnp.maximum(global_peak, 1e-9)
+        return out
+
+    # check_vma=False: the placement loop inits its accumulator from a constant,
+    # which the replication checker would flag against the device-varying adds.
+    fn = jax.jit(
+        jax.shard_map(
+            _render_local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    args = [batched[f] for f in _PLAN_FIELDS]
+    return fn(*args)
+
+
+__all__ = ["make_mesh", "stack_plans", "render_batch", "shard_render"]

@@ -1,0 +1,329 @@
+"""Compiled render plans: whole-scene rendering as one fixed-shape jitted program.
+
+This is the TPU-first inversion of the reference's object-mutation render loop
+(SURVEY.md section 7 design stance): a Scene is *compiled* into padded tensors —
+(events x samples) dry audio, (events x channels x emitters x ir_len) IR banks,
+interpolation weights, SNRs and sample offsets — and a single jitted function
+renders the complete multichannel scene mix. Because every scene with the same
+bucket shape reuses the compiled program, steady-state dataset generation runs
+entirely on device; vmap/pjit over the leading axis scales it across scenes and
+chips (audiblelight_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiblelight_tpu import config, utils
+from audiblelight_tpu.ops.convolve import (
+    fft_convolve,
+    interpolation_matrix,
+    time_variant_convolve_spec,
+)
+from audiblelight_tpu.ops.scaling import normalize_irs
+from audiblelight_tpu.ops.stft import istft_overlap_add, n_stft_frames, stft
+
+_TINY = 1e-15
+
+
+@dataclass
+class ScenePlan:
+    """Fixed-shape device tensors describing one renderable scene.
+
+    Shapes: Es/Em = padded static/moving event counts, S = padded event samples,
+    C = total output channels, L = IR length, J = padded trajectory points,
+    Fr = STFT frames for S, T = scene samples.
+    """
+
+    static_audio: jnp.ndarray  # (Es, S)
+    static_irs: jnp.ndarray  # (Es, C, L)
+    static_mask: jnp.ndarray  # (Es,)
+    static_snr: jnp.ndarray  # (Es,)
+    static_start: jnp.ndarray  # (Es,) int32 sample offsets
+    static_len: jnp.ndarray  # (Es,) int32 true audio lengths
+    static_place_len: jnp.ndarray  # (Es,) int32 scene-slice lengths
+    moving_audio: jnp.ndarray  # (Em, S)
+    moving_irs: jnp.ndarray  # (Em, C, J, L)
+    moving_w: jnp.ndarray  # (Em, Fr, J)
+    moving_mask: jnp.ndarray  # (Em,)
+    moving_snr: jnp.ndarray  # (Em,)
+    moving_start: jnp.ndarray  # (Em,) int32
+    moving_len: jnp.ndarray  # (Em,) int32
+    moving_place_len: jnp.ndarray  # (Em,) int32
+    ambience: jnp.ndarray  # (C, T) pre-scaled ambient bed (zeros if none)
+    ref_db: jnp.ndarray  # () float32
+    n_scene_samples: int
+
+    def tree_flatten(self):  # pragma: no cover - convenience
+        return vars(self)
+
+
+def _scale_event(wet: jnp.ndarray, snr, ref_db, length, place_len) -> jnp.ndarray:
+    """Post-convolution level chain: trim to the audio length, peak->snr,
+    mean->ref_db+snr, then trim to the scene-slice length.
+
+    `length` is the event audio length (what the reference computes its scaling
+    statistics over); `place_len` = round(scene_end*sr) - round(scene_start*sr)
+    is the slice actually written into the scene (may differ by a sample from
+    `length` due to independent rounding, reference synthesize.py:371-378).
+    """
+    s = wet.shape[-1]
+    col_mask = (jnp.arange(s) < length)[None, :]
+    wet = wet * col_mask
+    peak = jnp.maximum(jnp.max(jnp.abs(wet)), _TINY)
+    wet = wet * snr / peak
+    mean_abs = jnp.sum(jnp.abs(wet)) / jnp.maximum(wet.shape[0] * length, 1)
+    scale = 10 ** ((ref_db + snr) / 20.0) / (mean_abs + _TINY)
+    return wet * scale * (jnp.arange(s) < place_len)[None, :]
+
+
+@partial(jax.jit, static_argnames=("n_scene_samples",))
+def render_scene_arrays(
+    static_audio,
+    static_irs,
+    static_mask,
+    static_snr,
+    static_start,
+    static_len,
+    static_place_len,
+    moving_audio,
+    moving_irs,
+    moving_w,
+    moving_mask,
+    moving_snr,
+    moving_start,
+    moving_len,
+    moving_place_len,
+    ambience,
+    ref_db,
+    n_scene_samples: int,
+):
+    """Render one scene mix (C, T) from plan tensors. Fully on-device."""
+    es, s = static_audio.shape
+    c = static_irs.shape[1]
+    t = n_scene_samples
+
+    # ---- static events: batched TI convolution --------------------------
+    def render_static(audio, irs, snr, length, place_len):
+        # (C, L): energy per capsule, normalised by the mean across capsules
+        irs_n = normalize_irs(irs)
+        wet = fft_convolve(audio, irs_n, out_len=s)  # (C, S)
+        return _scale_event(wet, snr, ref_db, length, place_len)
+
+    static_wet = jax.vmap(render_static)(
+        static_audio, static_irs, static_snr, static_len, static_place_len
+    )
+    static_wet = static_wet * static_mask[:, None, None]
+
+    # ---- moving events: batched TV convolution --------------------------
+    def render_moving(audio, irs, w_ir, snr, length, place_len):
+        irs_n = normalize_irs(irs.transpose(1, 0, 2)).transpose(1, 0, 2)  # (C, J, L)
+        s_ir = stft(irs_n)  # (fr_i, F, C, J)
+        s_audio = stft(audio)  # (fr_a, F)
+        spec = time_variant_convolve_spec(s_audio, s_ir, w_ir)
+        wet = istft_overlap_add(spec).T  # (C, samples)
+        # pad/trim to S (shapes are static at trace time)
+        if wet.shape[-1] < s:
+            wet = jnp.pad(wet, ((0, 0), (0, s - wet.shape[-1])))
+        else:
+            wet = wet[:, :s]
+        # The reference pipeline's iSTFT stops at n_frames(length)*hop - win and
+        # zero-pads the remaining tail of the event; reproduce that truncation.
+        hop, win = config.HOP_SIZE, config.WIN_SIZE
+        n_fr = 2 * jnp.ceil(length / (2.0 * hop)).astype(jnp.int32) + 1
+        tv_len = jnp.minimum(length, n_fr * hop - win)
+        wet = wet * (jnp.arange(s) < tv_len)[None, :]
+        return _scale_event(wet, snr, ref_db, length, place_len)
+
+    em = moving_audio.shape[0]
+    if em > 0:
+        moving_wet = jax.vmap(render_moving)(
+            moving_audio, moving_irs, moving_w, moving_snr, moving_len, moving_place_len
+        )
+        moving_wet = moving_wet * moving_mask[:, None, None]
+    else:
+        moving_wet = jnp.zeros((0, c, s))
+
+    # ---- placement into the scene timeline ------------------------------
+    # The accumulation buffer is padded by S so events near the scene end clip
+    # naturally when trimmed back to T.
+    out = jnp.zeros((c, t + s), dtype=jnp.float32)
+
+    def place(i, acc, wet, start):
+        seg = jax.lax.dynamic_slice(acc, (0, start[i]), (c, s))
+        return jax.lax.dynamic_update_slice(acc, seg + wet[i], (0, start[i]))
+
+    out = jax.lax.fori_loop(
+        0, es, lambda i, acc: place(i, acc, static_wet, static_start), out
+    )
+    if em > 0:
+        out = jax.lax.fori_loop(
+            0, em, lambda i, acc: place(i, acc, moving_wet, moving_start), out
+        )
+
+    return out[:, :t] + ambience
+
+
+def render_scene_plan(plan: ScenePlan) -> jnp.ndarray:
+    """Render a ScenePlan to a (C, T) scene mix."""
+    return render_scene_arrays(
+        plan.static_audio,
+        plan.static_irs,
+        plan.static_mask,
+        plan.static_snr,
+        plan.static_start,
+        plan.static_len,
+        plan.static_place_len,
+        plan.moving_audio,
+        plan.moving_irs,
+        plan.moving_w,
+        plan.moving_mask,
+        plan.moving_snr,
+        plan.moving_start,
+        plan.moving_len,
+        plan.moving_place_len,
+        plan.ambience,
+        plan.ref_db,
+        plan.n_scene_samples,
+    )
+
+
+def build_scene_plan(
+    scene,
+    max_static: Optional[int] = None,
+    max_moving: Optional[int] = None,
+    max_traj: Optional[int] = None,
+    pad_audio_seconds: Optional[float] = None,
+) -> ScenePlan:
+    """Compile a Scene into a fixed-shape ScenePlan.
+
+    Runs the WorldState simulation (if needed), loads + augments event audio on
+    the host, and packs everything into padded tensors. Bucket sizes default to
+    the next power-of-two-ish of the actual counts so similar scenes share a
+    compiled program.
+    """
+    try:
+        irs_dict = scene.state.irs
+    except AttributeError:
+        scene.state.simulate()
+        irs_dict = scene.state.irs
+
+    sr = scene.sample_rate
+    t = round(scene.duration * sr)
+
+    # Channel-concatenate mic IRs: (C_total, E_total, L)
+    all_irs = np.concatenate([np.asarray(v) for v in irs_dict.values()], axis=0)
+    c_total, _, ir_len = all_irs.shape
+
+    statics, movings = [], []
+    emitter_counter = 0
+    for alias, event in scene.events.items():
+        n_em = len(event)
+        ev_irs = all_irs[:, emitter_counter : emitter_counter + n_em, :]
+        emitter_counter += n_em
+        audio = event.load_audio(normalize=True)
+        start = max(0, round(event.scene_start * sr))
+        end = min(round(event.scene_end * sr), t)
+        entry = dict(
+            audio=audio,
+            irs=ev_irs,
+            snr=float(event.snr),
+            start=start,
+            length=len(audio),
+            place_len=max(end - start, 0),
+            duration=event.duration,
+        )
+        (movings if event.is_moving else statics).append(entry)
+
+    def bucket(n, default=1):
+        if n <= 0:
+            return default
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+
+    es = max_static if max_static is not None else bucket(len(statics))
+    em = max_moving if max_moving is not None else bucket(len(movings), default=1)
+    max_len = max([e["length"] for e in statics + movings] or [sr])
+    if pad_audio_seconds is not None:
+        s = round(pad_audio_seconds * sr)
+    else:
+        s = bucket(max_len)
+    j = max_traj if max_traj is not None else bucket(
+        max([e["irs"].shape[1] for e in movings] or [2]), default=2
+    )
+    fr = n_stft_frames(s)
+
+    static_audio = np.zeros((es, s), dtype=np.float32)
+    static_irs = np.zeros((es, c_total, ir_len), dtype=np.float32)
+    static_mask = np.zeros(es, dtype=np.float32)
+    static_snr = np.zeros(es, dtype=np.float32)
+    static_start = np.zeros(es, dtype=np.int32)
+    static_len = np.ones(es, dtype=np.int32)
+    static_place_len = np.zeros(es, dtype=np.int32)
+    for i, e in enumerate(statics[:es]):
+        n = min(e["length"], s)
+        static_audio[i, :n] = e["audio"][:n]
+        static_irs[i] = e["irs"][:, 0, :]
+        static_mask[i] = 1.0
+        static_snr[i] = e["snr"]
+        static_start[i] = e["start"]
+        static_len[i] = n
+        static_place_len[i] = min(e["place_len"], s)
+
+    moving_audio = np.zeros((em, s), dtype=np.float32)
+    moving_irs = np.zeros((em, c_total, j, ir_len), dtype=np.float32)
+    moving_w = np.zeros((em, fr, j), dtype=np.float32)
+    moving_mask = np.zeros(em, dtype=np.float32)
+    moving_snr = np.zeros(em, dtype=np.float32)
+    moving_start = np.zeros(em, dtype=np.int32)
+    moving_len = np.ones(em, dtype=np.int32)
+    moving_place_len = np.zeros(em, dtype=np.int32)
+    for i, e in enumerate(movings[:em]):
+        n = min(e["length"], s)
+        n_j = min(e["irs"].shape[1], j)
+        moving_audio[i, :n] = e["audio"][:n]
+        moving_irs[i, :, :n_j, :] = e["irs"][:, :n_j, :]
+        ir_times = np.linspace(0, e["duration"], e["irs"].shape[1])[:n_j]
+        w = interpolation_matrix(ir_times, sr, config.HOP_SIZE, fr)
+        moving_w[i, :, :n_j] = w
+        moving_mask[i] = 1.0
+        moving_snr[i] = e["snr"]
+        moving_start[i] = e["start"]
+        moving_len[i] = n
+        moving_place_len[i] = min(e["place_len"], s)
+
+    # Pre-scaled ambience bed
+    ambience = np.zeros((c_total, t), dtype=np.float32)
+    for amb in scene.ambience.values():
+        noise = amb.load_ambience(normalize=True)
+        scale = 10 ** (amb.ref_db / 20.0) / (np.mean(np.abs(noise)) + utils.tiny(noise))
+        ambience[: noise.shape[0]] += (scale * noise).astype(np.float32)
+
+    return ScenePlan(
+        static_audio=jnp.asarray(static_audio),
+        static_irs=jnp.asarray(static_irs),
+        static_mask=jnp.asarray(static_mask),
+        static_snr=jnp.asarray(static_snr),
+        static_start=jnp.asarray(static_start),
+        static_len=jnp.asarray(static_len),
+        static_place_len=jnp.asarray(static_place_len),
+        moving_audio=jnp.asarray(moving_audio),
+        moving_irs=jnp.asarray(moving_irs),
+        moving_w=jnp.asarray(moving_w),
+        moving_mask=jnp.asarray(moving_mask),
+        moving_snr=jnp.asarray(moving_snr),
+        moving_start=jnp.asarray(moving_start),
+        moving_len=jnp.asarray(moving_len),
+        moving_place_len=jnp.asarray(moving_place_len),
+        ambience=jnp.asarray(ambience),
+        ref_db=jnp.asarray(float(scene.ref_db), dtype=jnp.float32),
+        n_scene_samples=t,
+    )

@@ -402,6 +402,130 @@ def trace_rirs(
     return tail + direct
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_rays", "max_depth", "n_bins", "encoding", "face_chunk", "n_sources"),
+)
+def trace_energy_histogram_multi(
+    key: jax.Array,
+    tris: jnp.ndarray,
+    face_absorption: jnp.ndarray,
+    face_scattering: jnp.ndarray,
+    source_positions: jnp.ndarray,
+    listener_pos: jnp.ndarray,
+    n_sources: int,
+    n_rays: int = 2000,
+    max_depth: int = 50,
+    n_bins: int = 512,
+    bin_dt: float = 0.002,
+    c: float = config.SPEED_OF_SOUND,
+    encoding: str = "omni",
+    face_chunk: int = 4096,
+) -> jnp.ndarray:
+    """Energy histograms for E sources traced TOGETHER in one wavefront.
+
+    All E*R rays advance per bounce in a single batched step: the bounce loop is
+    inherently sequential, so putting every source's rays into one wavefront
+    keeps the chip busy instead of paying the per-step dispatch latency E times
+    (the lax.map-over-sources formulation was latency-bound on small scenes).
+
+    Returns (E, C_out, B, n_bins).
+    """
+    n_bands = face_absorption.shape[1]
+    cl = listener_pos.shape[0]
+    c_out = {"foa": 4, "binaural": 2}.get(encoding, cl)
+
+    total_rays = n_sources * n_rays
+    key, k0 = jax.random.split(key)
+    dirs0 = _sphere_directions(k0, total_rays)
+    origins0 = jnp.repeat(source_positions, n_rays, axis=0).astype(jnp.float32)
+    src_idx = jnp.repeat(jnp.arange(n_sources, dtype=jnp.int32), n_rays)
+    energy0 = jnp.full((total_rays, n_bands), 1.0 / n_rays, dtype=jnp.float32)
+    dist0 = jnp.zeros(total_rays, dtype=jnp.float32)
+    alive0 = jnp.ones(total_rays, dtype=bool)
+
+    tri_normals = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    tri_normals = tri_normals / jnp.maximum(
+        jnp.linalg.norm(tri_normals, axis=-1, keepdims=True), 1e-12
+    )
+
+    hist0 = jnp.zeros((n_sources, c_out, n_bands, n_bins), dtype=jnp.float32)
+    keys = jax.random.split(key, max_depth)
+
+    def bounce(carry, k_step):
+        origins, dirs, energy, dist, alive, hist = carry
+
+        t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk)
+        hit_ok = alive & jnp.isfinite(t)
+        t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+        face_safe = jnp.maximum(face, 0)
+        hit = origins + t_safe[:, None] * dirs
+        new_dist = dist + t_safe
+
+        normal = tri_normals[face_safe]
+        normal = jnp.where((jnp.sum(normal * dirs, axis=-1) > 0)[:, None], -normal, normal)
+
+        alpha = face_absorption[face_safe]
+        e_refl = energy * (1.0 - alpha)
+
+        # Diffuse rain toward every listener: (C, TR)
+        vec = listener_pos[:, None, :] - hit[None, :, :]
+        d_l = jnp.linalg.norm(vec, axis=-1)
+        dir_l = vec / jnp.maximum(d_l[..., None], 1e-9)
+        cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
+
+        starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, total_rays, 3)).reshape(-1, 3)
+        ends = jnp.repeat(listener_pos, total_rays, axis=0)
+        occ = segments_occluded(starts, ends, tris, face_chunk).reshape(cl, total_rays)
+
+        visible = hit_ok[None] & (~occ) & (cos_th > 0)
+        deposit = (
+            e_refl[None]
+            * (cos_th / (4.0 * jnp.pi**2 * jnp.maximum(d_l, 1e-2) ** 2))[..., None]
+            * visible[..., None]
+        )  # (C, TR, B)
+
+        arrival = (new_dist[None] + d_l) / c
+        bin_idx = jnp.clip((arrival / bin_dt).astype(jnp.int32), 0, n_bins - 1)
+        in_range = arrival < (n_bins * bin_dt)
+        deposit = deposit * in_range[..., None]
+
+        if encoding == "omni":
+            def add_listener(ci, h):
+                # (scalar-broadcast src, scalar ci, slice, array bin) -> (TR, B)
+                return h.at[src_idx, ci, :, bin_idx[ci]].add(deposit[ci].astype(h.dtype))
+
+            hist = jax.lax.fori_loop(0, cl, add_listener, hist)
+        else:
+            if encoding == "foa":
+                gains = foa_encoding_gains(dir_l[0])  # (TR, 4)
+            else:
+                gains = binaural_encoding_gains(dir_l[0])  # (TR, 2)
+            weighted = deposit[0][:, None, :] * gains[:, :, None]  # (TR, C_out, B)
+            hist = hist.at[src_idx, :, :, bin_idx[0]].add(weighted.astype(hist.dtype))
+
+        # Reflect
+        k_spec, k_diff = jax.random.split(k_step)
+        spec_dir = dirs - 2.0 * jnp.sum(dirs * normal, axis=-1, keepdims=True) * normal
+        diff_dir = _cosine_hemisphere(k_diff, normal)
+        s = face_scattering[face_safe]
+        go_diffuse = jax.random.uniform(k_spec, (total_rays,)) < s
+        new_dirs = jnp.where(go_diffuse[:, None], diff_dir, spec_dir)
+        new_origins = hit + 1e-4 * normal
+
+        new_alive = (
+            hit_ok
+            & (jnp.max(e_refl, axis=-1) * n_rays > 1e-6)
+            & (new_dist < c * n_bins * bin_dt)
+        )
+        return (new_origins, new_dirs, e_refl, new_dist, new_alive, hist), None
+
+    (_, _, _, _, _, hist), _ = jax.lax.scan(
+        bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys
+    )
+    return hist
+
+
 def trace_rirs_multi(
     key: jax.Array,
     tris: jnp.ndarray,
@@ -420,35 +544,47 @@ def trace_rirs_multi(
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
-    Sources are processed sequentially under lax.map (bounding the per-step ray
-    working set to one source), each step fully vectorised across rays, listeners
-    and bands. Returns (C_out, E, n_samples).
+    Returns (C_out, E, n_samples).
     """
     source_positions = jnp.atleast_2d(source_positions)
     n_sources = source_positions.shape[0]
-    keys = jax.random.split(key, n_sources)
+    n_bins = int(np.ceil(n_samples / sr / bin_dt)) + 1
 
-    def one_source(inputs):
-        k, src = inputs
-        return trace_rirs(
-            k,
-            tris,
-            face_absorption,
-            face_scattering,
-            src,
-            listener_pos,
-            n_samples=n_samples,
-            sr=sr,
-            n_rays=n_rays,
-            max_depth=max_depth,
-            bin_dt=bin_dt,
-            c=c,
-            encoding=encoding,
-            face_chunk=face_chunk,
+    k_trace, k_synth = jax.random.split(key)
+    hist = trace_energy_histogram_multi(
+        k_trace,
+        tris,
+        face_absorption,
+        face_scattering,
+        source_positions,
+        listener_pos,
+        n_sources=n_sources,
+        n_rays=n_rays,
+        max_depth=max_depth,
+        n_bins=n_bins,
+        bin_dt=bin_dt,
+        c=c,
+        encoding=encoding,
+        face_chunk=face_chunk,
+    )  # (E, C_out, B, bins)
+
+    band_freqs = jnp.asarray(
+        np.geomspace(125.0, 8000.0, face_absorption.shape[1])
+        if face_absorption.shape[1] > 1
+        else np.array([1000.0])
+    )
+    synth_keys = jax.random.split(k_synth, n_sources)
+    tails = jax.vmap(
+        lambda k, h: synthesize_ir_from_histogram(
+            k, h, band_freqs, n_samples, bin_dt, sr=sr, encoding=encoding
         )
+    )(synth_keys, hist)  # (E, C_out, S)
 
-    irs = jax.lax.map(one_source, (keys, source_positions))  # (E, C_out, S)
-    return jnp.moveaxis(irs, 0, 1)
+    directs = jax.vmap(
+        lambda src: direct_path_ir(tris, src, listener_pos, n_samples, sr=sr, c=c, encoding=encoding)
+    )(source_positions)  # (E, C_out, S)
+
+    return jnp.moveaxis(tails + directs, 0, 1)
 
 
 __all__ = [

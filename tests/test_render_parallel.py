@@ -1,0 +1,115 @@
+"""Tests for compiled scene plans and sharded multi-device rendering."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiblelight_tpu import Scene
+from audiblelight_tpu.io.audio import wav_write
+from audiblelight_tpu.parallel import make_mesh, render_batch, shard_render, stack_plans
+from audiblelight_tpu.render import build_scene_plan, render_scene_plan
+
+SR = 44100
+
+
+@pytest.fixture(scope="module")
+def fg_dir(tmp_path_factory):
+    rng = np.random.default_rng(1)
+    root = tmp_path_factory.mktemp("fg")
+    for cls, freq in [("maleSpeech", 220.0), ("music", 660.0)]:
+        d = root / cls
+        d.mkdir()
+        t = np.arange(SR * 3) / SR
+        sig = 0.5 * np.sin(2 * np.pi * freq * t) * np.exp(-t * 0.5)
+        wav_write(d / f"{cls}.wav", sig.astype(np.float32), SR)
+    return root
+
+
+def make_scene(fg_dir, seed=0):
+    scene = Scene(
+        duration=8.0,
+        backend="shoebox",
+        fg_path=fg_dir,
+        backend_kwargs=dict(
+            dimensions=[6.0, 4.0, 3.0], max_order=4, max_ir_length=0.15,
+            frequency_bands=1, seed=seed,
+        ),
+    )
+    scene.add_microphone(microphone_type="ambeovr", position=[3.0, 2.0, 1.5], alias="m")
+    scene.add_event(
+        event_type="static", position=[1.0, 1.0, 1.0], alias="s0",
+        scene_start=1.0, event_start=0.0, duration=2.0, snr=10.0,
+    )
+    scene.add_event(
+        event_type="moving", alias="m0", shape="linear",
+        scene_start=4.0, event_start=0.0, duration=2.0, snr=8.0,
+        spatial_velocity=1.0, spatial_resolution=2.0,
+    )
+    scene.add_ambience(noise="pink")
+    return scene
+
+
+def test_plan_matches_reference_path(fg_dir):
+    """The compiled plan render must match the object-based synthesis pipeline."""
+    scene = make_scene(fg_dir)
+
+    # Reference-path render (object pipeline)
+    from audiblelight_tpu.synthesize import (
+        generate_scene_audio_from_events,
+        render_audio_for_all_scene_events,
+    )
+
+    render_audio_for_all_scene_events(scene)
+    generate_scene_audio_from_events(scene)
+    ref = scene.audio["m"]
+
+    plan = build_scene_plan(scene)
+    out = np.asarray(render_scene_plan(plan))
+
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=2e-4)
+
+
+def test_batched_render(fg_dir):
+    scenes = [make_scene(fg_dir, seed=i) for i in range(2)]
+    plans = [build_scene_plan(s, max_static=2, max_moving=2, max_traj=8, pad_audio_seconds=3.0) for s in scenes]
+    batched = stack_plans(plans)
+    out = np.asarray(render_batch(batched))
+    assert out.shape == (2, 4, 8 * SR)
+    # each scene matches its individual render
+    for i, p in enumerate(plans):
+        single = np.asarray(render_scene_plan(p))
+        np.testing.assert_allclose(out[i], single, atol=1e-5)
+
+
+def test_sharded_render_8_devices(fg_dir):
+    """Scene batch sharded over the 8-device CPU mesh must match local render."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    scenes = [make_scene(fg_dir, seed=i) for i in range(8)]
+    plans = [
+        build_scene_plan(s, max_static=2, max_moving=2, max_traj=8, pad_audio_seconds=3.0)
+        for s in scenes
+    ]
+    batched = stack_plans(plans)
+
+    mesh = make_mesh(n_scene=4, n_chan=2)
+    out_sharded = shard_render(batched, mesh)
+    assert out_sharded.shape == (8, 4, 8 * SR)
+
+    out_local = render_batch(batched)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_local), atol=1e-5)
+
+
+def test_sharded_render_with_collective(fg_dir):
+    scenes = [make_scene(fg_dir, seed=i) for i in range(8)]
+    plans = [
+        build_scene_plan(s, max_static=2, max_moving=2, max_traj=8, pad_audio_seconds=3.0)
+        for s in scenes
+    ]
+    batched = stack_plans(plans)
+    mesh = make_mesh(n_scene=4, n_chan=2)
+    out = np.asarray(shard_render(batched, mesh, normalize=True))
+    assert np.isclose(np.abs(out).max(), 1.0, atol=1e-5)  # global-peak normalised
