@@ -72,6 +72,20 @@ def normalize_irs(irs: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _bucket_len(n: int, minimum: int = 4096) -> int:
+    """Next power-of-two length >= n (shape bucketing to bound XLA recompiles).
+
+    Event audio arrives with arbitrary lengths; padding to power-of-two buckets
+    before the jitted convolutions means a whole dataset run compiles a handful
+    of programs instead of one per unique duration. The ops are causal and the
+    padding is zeros, so results are exact after slicing back.
+    """
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def time_invariant_convolution(audio: np.ndarray, ir: np.ndarray) -> np.ndarray:
     """Convolve mono audio with a static multichannel IR.
 
@@ -88,8 +102,11 @@ def time_invariant_convolution(audio: np.ndarray, ir: np.ndarray) -> np.ndarray:
         raise ValueError(
             f"Expected shape of IR should be (n_samples, n_channels), but got ({ir.shape}) instead"
         )
-    wet = _conv.fft_convolve(jnp.asarray(audio), jnp.asarray(ir.T))
-    return np.asarray(wet)
+    n = audio.shape[0]
+    n_b = _bucket_len(n)
+    audio_b = np.pad(audio, (0, n_b - n)) if n_b != n else audio
+    wet = _conv.fft_convolve(jnp.asarray(audio_b), jnp.asarray(ir.T))
+    return np.asarray(wet)[:, : n + ir.shape[0] - 1]
 
 
 def stft(
@@ -168,18 +185,40 @@ def time_variant_convolution(
     """
     audio = event.load_audio()
     hop_size = utils.sanitise_positive_number(hop_size, cast_to=int)
+
+    # Shape bucketing (see _bucket_len): pad the audio length and the IR count
+    # to powers of two. Zero IRs with zero weights contribute nothing, and the
+    # TV convolution is causal in frames, so slicing restores the exact result.
+    n = audio.shape[-1]
+    n_b = _bucket_len(n)
+    audio_b = np.pad(audio, (0, n_b - n)) if n_b != n else audio
+
+    n_irs = irs.shape[1]
+    j_b = 1
+    while j_b < n_irs:
+        j_b *= 2
+    if j_b != n_irs:
+        irs = np.pad(irs, ((0, 0), (0, j_b - n_irs), (0, 0)))
+
     ir_times = np.linspace(0, event.duration, len(event))
-    n_frames = _stft.n_stft_frames(audio.shape[-1], hop_size)
-    w_ir = _conv.interpolation_matrix(ir_times, event.sample_rate, hop_size, n_frames)
+    n_frames_b = _stft.n_stft_frames(n_b, hop_size)
+    w_ir = np.zeros((n_frames_b, j_b), dtype=np.float64)
+    w_ir[:, :n_irs] = _conv.interpolation_matrix(
+        ir_times, event.sample_rate, hop_size, n_frames_b
+    )
+
     wet = _conv.tv_convolve(
-        jnp.asarray(audio),
-        jnp.asarray(irs),  # (C, J, L)
+        jnp.asarray(audio_b),
+        jnp.asarray(irs),  # (C, J_b, L)
         w_ir,
         int(fft_size),
         utils.sanitise_positive_number(win_size, cast_to=int),
         hop_size,
     )
-    return np.asarray(wet)
+    # Reference output length: n_frames(true audio) * hop - win
+    n_frames_true = _stft.n_stft_frames(n, hop_size)
+    out_len = n_frames_true * hop_size - utils.sanitise_positive_number(win_size, cast_to=int)
+    return np.asarray(wet)[:, :out_len]
 
 
 # ---------------------------------------------------------------------------

@@ -196,6 +196,30 @@ class WorldStateRLR(PlacementMixin, WorldState):
         return _EngineConfig(**rlr_kwargs)
 
     @property
+    def native_bvh(self):
+        """Host-side BVH (cpp/geomlib.cpp) for low-latency placement queries.
+
+        Falls back to None (device kernels used instead) when the native library
+        cannot be built. Rebuilt when the face count changes (mesh repair).
+        """
+        if getattr(self, "_native_bvh_failed", False):
+            return None
+        bvh = getattr(self, "_native_bvh", None)
+        if bvh is not None and bvh.n_tris == len(self.mesh.faces):
+            return bvh
+        try:
+            from audiblelight_tpu.geometry.native import NativeBVH, native_available
+
+            if not native_available():
+                self._native_bvh_failed = True
+                return None
+            self._native_bvh = NativeBVH(self.mesh.triangles.astype(np.float32))
+            return self._native_bvh
+        except Exception:
+            self._native_bvh_failed = True
+            return None
+
+    @property
     def tris_device(self) -> jnp.ndarray:
         """(F, 3, 3) float32 triangle array on device (cached)."""
         if self._tris_device is None or self._tris_device.shape[0] != len(self.mesh.faces):
@@ -246,6 +270,9 @@ class WorldStateRLR(PlacementMixin, WorldState):
         return self.mesh.bounds
 
     def _is_point_inside_mesh(self, point) -> bool:
+        bvh = self.native_bvh
+        if bvh is not None:
+            return bool(bvh.contains(utils.coerce2d(point))[0])
         mask = points_inside_mesh(
             jnp.asarray(utils.coerce2d(point), dtype=jnp.float32), self.tris_device
         )
@@ -258,6 +285,15 @@ class WorldStateRLR(PlacementMixin, WorldState):
             raise ValueError("Expected input to have shape (N, 3) for XYZ coordinates")
 
         valid = self._distance_mask(positions)
+
+        bvh = self.native_bvh
+        if bvh is not None:
+            # Host BVH path: placement issues many small batches where a device
+            # round-trip per call would dominate.
+            surface_d = bvh.nearest_surface_distance(positions)
+            valid &= surface_d >= self.empty_space_around_surface
+            valid &= bvh.contains(positions)
+            return valid
 
         pts = jnp.asarray(positions, dtype=jnp.float32)
         surface_d = np.asarray(nearest_surface_distance(pts, self.tris_device))
@@ -273,6 +309,12 @@ class WorldStateRLR(PlacementMixin, WorldState):
         for point in (point_a, point_b):
             if point.shape != (3,):
                 raise ValueError(f"Expected an array with shape (3,) but got {point.shape}")
+        bvh = self.native_bvh
+        if bvh is not None:
+            if not bvh.contains(np.stack([point_a, point_b])).all():
+                return False
+            return not bool(bvh.segments_occluded(point_a[None], point_b[None])[0])
+
         inside = np.asarray(
             points_inside_mesh(
                 jnp.asarray(np.stack([point_a, point_b]), dtype=jnp.float32),
@@ -305,12 +347,17 @@ class WorldStateRLR(PlacementMixin, WorldState):
         )
         origins = np.broadcast_to(point, (num_rays, 3))
 
-        t, _ = ray_mesh_first_hit(
-            jnp.asarray(origins, dtype=jnp.float32),
-            jnp.asarray(directions, dtype=jnp.float32),
-            self.tris_device,
-        )
-        distances = np.asarray(t)
+        bvh = self.native_bvh
+        if bvh is not None:
+            distances, _ = bvh.ray_first_hit(origins, directions)
+            distances = np.where(np.isfinite(distances), distances, np.inf)
+        else:
+            t, _ = ray_mesh_first_hit(
+                jnp.asarray(origins, dtype=jnp.float32),
+                jnp.asarray(directions, dtype=jnp.float32),
+                self.tris_device,
+            )
+            distances = np.asarray(t)
         if np.isinf(distances).any():
             logger.warning(
                 f"Some rays cast from point {point} have infinite distances: is the mesh watertight?"

@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Generate a DCASE2023-Task3-style SELD dataset (TPU-accelerated).
+
+Produces the same dataset surface as the reference generator
+(reference scripts/seld/generate_dataset.py:1-460):
+  - N one-minute spatial recordings at 24 kHz
+  - FOA ("foalistener") or tetrahedral MIC ("ambeovr") formats
+  - scenes spatialised in shoebox / ray-traced mesh / measured-SOFA rooms
+  - polyphony cap (max_overlap), static + moving events
+  - optional per-event augmentation sampled from pitch-shift / speed-up /
+    reverse / invert / distortion
+  - DCASE folder layout: <fmt>_dev/dev-<split>-alight/fold<k>_scene<i>_<j>.wav
+    + metadata_dev/...csv
+  - resume support (outputs that already exist are skipped) and recursive
+    retry when a scene ends up with zero placed events
+
+Unlike the reference's serial per-scene loop, RIR synthesis and convolution run
+on the TPU through the compiled kernels; the host only places events and
+performs IO.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+from scipy import stats
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from audiblelight_tpu import config, utils
+from audiblelight_tpu.augmentation import Distortion, Invert, PitchShift, Reverse, SpeedUp
+from audiblelight_tpu.core import Scene
+from audiblelight_tpu.utils import logger
+
+DURATION = 60
+SAMPLE_RATE = 24000
+
+AUGMENTATIONS = {
+    "pitchshift": (PitchShift, dict(semitones=stats.uniform(-7, 0))),
+    "speedup": (SpeedUp, dict(stretch_factor=stats.uniform(0.9, 0.2))),
+    "reverse": Reverse,
+    "invert": Invert,
+    "distortion": (Distortion, dict(drive_db=stats.uniform(0.0, 10.0))),
+}
+
+
+def get_augmentations(names):
+    """Resolve augmentation names into (cls, kwargs) entries."""
+    out = []
+    for name in names:
+        if name not in AUGMENTATIONS:
+            raise ValueError(f"Augmentation {name} is not a valid parameter for this script!")
+        entry = AUGMENTATIONS[name]
+        if isinstance(entry, tuple):
+            cls, kws = entry
+            out.append((cls, dict(kws, sample_rate=SAMPLE_RATE)))
+        else:
+            out.append((entry, dict(sample_rate=SAMPLE_RATE)))
+    return out
+
+
+def build_backend_kwargs(args, rng):
+    """Backend-specific constructor kwargs for this scene."""
+    if args.backend == "shoebox":
+        dims = rng.uniform([5.0, 4.0, 2.6], [10.0, 8.0, 3.5])
+        return dict(
+            dimensions=dims.tolist(),
+            absorption=args.material if args.materials else 0.3,
+            max_order=args.ism_order,
+            max_ir_length=args.ir_seconds,
+            seed=int(rng.integers(2**31)),
+        )
+    if args.backend == "rlr":
+        if args.mesh is None:
+            raise ValueError("--mesh is required for the rlr backend")
+        return dict(
+            mesh=args.mesh,
+            material=args.material if args.materials else None,
+            add_to_context=False,
+            rlr_kwargs=dict(max_ir_length=args.ir_seconds),
+            seed=int(rng.integers(2**31)),
+        )
+    if args.backend == "sofa":
+        if args.sofa is None:
+            raise ValueError("--sofa is required for the sofa backend")
+        return dict(sofa=args.sofa)
+    raise ValueError(f"Unknown backend {args.backend}")
+
+
+def generate(
+    args,
+    split: str,
+    scene_num: int,
+    scape_num: int,
+    rng: np.random.Generator,
+    depth: int = 0,
+) -> None:
+    """Generate one complete scene (audio + DCASE csv + JSON), with resume/retry."""
+    fold = 1 if split == "train" else 2
+    common = f"dev-{split}-alight/fold{fold}_scene{scene_num}_{str(scape_num).zfill(3)}"
+    audio_path = Path(args.output_dir) / f"{args.channel_layout}_dev/{common}"
+    metadata_path = Path(args.output_dir) / f"metadata_dev/{common}"
+
+    # Resume: skip scenes whose outputs already exist
+    wav_out = audio_path.parent / f"{audio_path.name}_mic000.wav"
+    csv_out = metadata_path.parent / f"{metadata_path.name}_mic000.csv"
+    if wav_out.is_file() and csv_out.is_file():
+        logger.warning(f"Skipping existing scene {common}")
+        return
+
+    audio_path.parent.mkdir(parents=True, exist_ok=True)
+    metadata_path.parent.mkdir(parents=True, exist_ok=True)
+
+    scene = Scene(
+        duration=args.duration,
+        sample_rate=SAMPLE_RATE,
+        backend=args.backend,
+        backend_kwargs=build_backend_kwargs(args, rng),
+        fg_path=args.fg_dir,
+        max_overlap=args.max_overlap,
+        event_augmentations=(
+            get_augmentations(args.augmentations) if args.augmentations else None
+        ),
+        class_mapping="DCASE2023Task3",
+    )
+
+    mic_type = "foalistener" if args.channel_layout == "foa" else "ambeovr"
+    scene.add_microphone(microphone_type=mic_type)
+
+    n_static = int(rng.integers(args.min_events_static, args.max_events_static + 1))
+    n_moving = int(rng.integers(args.min_events_moving, args.max_events_moving + 1))
+
+    placed = 0
+    for _ in range(n_static):
+        try:
+            scene.add_event(
+                event_type="static",
+                augmentations=1 if args.augmentations else None,
+                max_place_attempts=100,
+            )
+            placed += 1
+        except (ValueError, FileNotFoundError) as e:
+            logger.warning(f"Could not place static event: {e}")
+    for _ in range(n_moving):
+        try:
+            scene.add_event(
+                event_type="moving",
+                augmentations=1 if args.augmentations else None,
+                max_place_attempts=100,
+            )
+            placed += 1
+        except (ValueError, FileNotFoundError) as e:
+            logger.warning(f"Could not place moving event: {e}")
+
+    # A scene with zero events is useless: retry recursively (bounded)
+    if placed == 0:
+        if depth >= 5:
+            raise RuntimeError(f"Could not place any events for scene {common}")
+        logger.warning(f"No events placed for {common}; retrying...")
+        return generate(args, split, scene_num, scape_num, rng, depth + 1)
+
+    scene.add_ambience(noise="gaussian")
+    scene.generate(
+        output_dir=audio_path.parent,
+        audio=True,
+        metadata_json=True,
+        metadata_dcase=True,
+        audio_fname=audio_path.name,
+        metadata_fname=audio_path.name,
+    )
+    # Move metadata files into metadata_dev (generate writes next to audio)
+    for produced in audio_path.parent.glob(f"{audio_path.name}*.csv"):
+        produced.rename(metadata_path.parent / produced.name)
+    for produced in audio_path.parent.glob(f"{audio_path.name}.json"):
+        produced.rename(metadata_path.parent / produced.name)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--fg-dir", type=str, required=True, help="foreground audio root")
+    parser.add_argument("--output-dir", type=str, required=True)
+    parser.add_argument("--backend", choices=["shoebox", "rlr", "sofa"], default="shoebox")
+    parser.add_argument("--mesh", type=str, default=None, help="mesh file (rlr backend)")
+    parser.add_argument("--sofa", type=str, default=None, help="SOFA file (sofa backend)")
+    parser.add_argument("--channel-layout", choices=["foa", "mic"], default="mic")
+    parser.add_argument("--n-scenes", type=int, default=10, help="scenes per split")
+    parser.add_argument("--train-frac", type=float, default=0.75)
+    parser.add_argument("--max-overlap", type=int, default=config.MAX_OVERLAP)
+    parser.add_argument("--min-events-static", type=int, default=config.MIN_STATIC_EVENTS)
+    parser.add_argument("--max-events-static", type=int, default=config.MAX_STATIC_EVENTS)
+    parser.add_argument("--min-events-moving", type=int, default=config.MIN_MOVING_EVENTS)
+    parser.add_argument("--max-events-moving", type=int, default=config.MAX_MOVING_EVENTS)
+    parser.add_argument(
+        "--augmentations",
+        nargs="*",
+        default=[],
+        choices=list(AUGMENTATIONS.keys()),
+        help="augmentation pool; one random augmentation per event",
+    )
+    parser.add_argument("--materials", action="store_true", help="use acoustic materials")
+    parser.add_argument("--material", type=str, default="Default")
+    parser.add_argument("--ism-order", type=int, default=12, help="shoebox image order")
+    parser.add_argument("--ir-seconds", type=float, default=config.MAX_IR_SECONDS)
+    parser.add_argument("--duration", type=float, default=DURATION)
+    parser.add_argument("--seed", type=int, default=utils.SEED)
+    args = parser.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    n_train = round(args.n_scenes * args.train_frac)
+
+    jobs = [("train", i) for i in range(n_train)] + [
+        ("test", i) for i in range(args.n_scenes - n_train)
+    ]
+    for idx, (split, scape_num) in enumerate(jobs):
+        logger.warning(f"[{idx + 1}/{len(jobs)}] generating {split} scene {scape_num}")
+        generate(args, split, scene_num=1, scape_num=scape_num, rng=rng)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Tests for the native C++ BVH geometry library vs the JAX device kernels."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audiblelight_tpu.geometry import (
+    box_mesh,
+    nearest_surface_distance,
+    points_inside_mesh,
+    ray_mesh_first_hit,
+    segments_occluded,
+)
+from audiblelight_tpu.geometry.native import NativeBVH, native_available
+
+pytestmark = pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+
+
+@pytest.fixture(scope="module")
+def scene_mesh():
+    """A room with an interior obstacle (non-trivial BVH)."""
+    room = box_mesh(extents=[6.0, 4.0, 3.0], center=[3.0, 2.0, 1.5])
+    obstacle = box_mesh(extents=[0.8, 0.8, 1.2], center=[3.0, 2.0, 0.6], inward_normals=False)
+    tris = np.concatenate([room.triangles, obstacle.triangles]).astype(np.float32)
+    return tris
+
+
+@pytest.fixture(scope="module")
+def bvh(scene_mesh):
+    return NativeBVH(scene_mesh)
+
+
+def test_contains_matches_device(scene_mesh, bvh, rng):
+    pts = rng.uniform([-1, -1, -1], [7, 5, 4], (500, 3)).astype(np.float32)
+    native = bvh.contains(pts)
+    device = np.asarray(points_inside_mesh(jnp.asarray(pts), jnp.asarray(scene_mesh)))
+    np.testing.assert_array_equal(native, device)
+
+
+def test_nearest_matches_device(scene_mesh, bvh, rng):
+    pts = rng.uniform([0.2, 0.2, 0.2], [5.8, 3.8, 2.8], (200, 3)).astype(np.float32)
+    native = bvh.nearest_surface_distance(pts)
+    device = np.asarray(nearest_surface_distance(jnp.asarray(pts), jnp.asarray(scene_mesh)))
+    np.testing.assert_allclose(native, device, atol=1e-4)
+
+
+def test_raycast_matches_device(scene_mesh, bvh, rng):
+    origins = rng.uniform([1, 1, 1], [5, 3, 2], (200, 3)).astype(np.float32)
+    dirs = rng.standard_normal((200, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    t_native, id_native = bvh.ray_first_hit(origins, dirs)
+    t_device, id_device = ray_mesh_first_hit(
+        jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(scene_mesh)
+    )
+    np.testing.assert_allclose(t_native, np.asarray(t_device), atol=1e-3, rtol=1e-4)
+
+
+def test_occlusion_matches_device(scene_mesh, bvh, rng):
+    starts = rng.uniform([0.5, 0.5, 0.3], [5.5, 3.5, 2.7], (200, 3)).astype(np.float32)
+    ends = rng.uniform([0.5, 0.5, 0.3], [5.5, 3.5, 2.7], (200, 3)).astype(np.float32)
+    native = bvh.segments_occluded(starts, ends)
+    device = np.asarray(
+        segments_occluded(jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(scene_mesh))
+    )
+    # Tolerate rare boundary-epsilon disagreements on grazing segments
+    agreement = (native == device).mean()
+    assert agreement > 0.99, f"only {agreement:.3f} agreement"
+
+
+def test_worldstate_uses_native_bvh(scene_mesh, tmp_path):
+    """The mesh backend picks up the native path transparently."""
+    from audiblelight_tpu.geometry.mesh import TriMesh
+    from audiblelight_tpu.worldstate import WorldStateRLR
+
+    room = box_mesh(extents=[6.0, 4.0, 3.0], center=[3.0, 2.0, 1.5])
+    ws = WorldStateRLR(mesh=room, seed=0)
+    assert ws.native_bvh is not None
+    # Placement logic works through the native path
+    ws.add_microphone("monocapsule", position=[3.0, 2.0, 1.5])
+    ws.add_emitter(position=[1.0, 1.0, 1.0], alias="s")
+    assert ws.path_exists_between_points(np.array([1.0, 2.0, 1.5]), np.array([5.0, 2.0, 1.5]))
+    assert not ws._validate_position(np.array([10.0, 0.0, 0.0]))
+    val = ws.calculate_weighted_average_ray_length(np.array([3.0, 2.0, 1.5]))
+    assert 1.0 < val < 6.0
+
+
+def test_native_placement_speed(scene_mesh, bvh, rng):
+    """The native path answers small placement batches quickly (< 1 ms/batch)."""
+    import time
+
+    pts = rng.uniform([0, 0, 0], [6, 4, 3], (10, 3)).astype(np.float32)
+    bvh.contains(pts)  # warm
+    t0 = time.time()
+    for _ in range(100):
+        bvh.contains(pts)
+        bvh.nearest_surface_distance(pts)
+    per_batch = (time.time() - t0) / 100
+    assert per_batch < 1e-3, f"{per_batch * 1e3:.2f} ms per batch"

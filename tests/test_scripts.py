@@ -1,0 +1,194 @@
+"""Smoke tests for the dataset-generation CLI scripts."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audiblelight_tpu.io.audio import wav_write
+
+REPO = Path(__file__).resolve().parents[1]
+SR = 24000
+
+
+def _make_fg(root, classes):
+    rng = np.random.default_rng(0)
+    for i, cls in enumerate(classes):
+        d = root / cls
+        d.mkdir()
+        t = np.arange(SR * 3) / SR
+        sig = 0.5 * np.sin(2 * np.pi * 220.0 * (i + 1) * t) * np.exp(-t * 0.4)
+        sig += 0.02 * rng.standard_normal(len(t))
+        wav_write(d / f"{cls}.wav", sig.astype(np.float32), SR)
+    return root
+
+
+@pytest.fixture(scope="module")
+def fg_dir(tmp_path_factory):
+    """DCASE2023Task3-labelled foreground audio."""
+    return _make_fg(tmp_path_factory.mktemp("fg23"), ["maleSpeech", "music"])
+
+
+@pytest.fixture(scope="module")
+def fg_dir_2025(tmp_path_factory):
+    """DCASE2025Task4-labelled foreground audio (for the ssseg generator)."""
+    return _make_fg(tmp_path_factory.mktemp("fg25"), ["Speech", "Clapping"])
+
+
+def run_script(script, *args):
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        # Persistent compile cache: subprocesses reuse each other's XLA programs
+        JAX_COMPILATION_CACHE_DIR="/tmp/al_jax_cache",
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+    )
+    return subprocess.run(
+        [sys.executable, str(REPO / script), *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=900,
+        cwd=REPO,
+    )
+
+
+def test_seld_generate_dataset(fg_dir, tmp_path):
+    res = run_script(
+        "scripts/seld/generate_dataset.py",
+        "--fg-dir", str(fg_dir),
+        "--output-dir", str(tmp_path),
+        "--backend", "shoebox",
+        "--n-scenes", "2",
+        "--train-frac", "0.5",
+        "--max-events-static", "2",
+        "--max-events-moving", "1",
+        "--ism-order", "4",
+        "--ir-seconds", "0.15",
+        "--duration", "8",
+        "--augmentations", "reverse", "invert",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    wavs = list(tmp_path.rglob("*.wav"))
+    csvs = list(tmp_path.rglob("*.csv"))
+    assert len(wavs) >= 2, [str(p) for p in tmp_path.rglob("*")]
+    assert len(csvs) >= 2
+    # DCASE layout present
+    assert any("mic_dev" in str(p) for p in wavs)
+    assert any("metadata_dev" in str(p) for p in csvs)
+    # Resume: re-running skips everything quickly
+    res2 = run_script(
+        "scripts/seld/generate_dataset.py",
+        "--fg-dir", str(fg_dir),
+        "--output-dir", str(tmp_path),
+        "--backend", "shoebox",
+        "--n-scenes", "2",
+        "--train-frac", "0.5",
+        "--ism-order", "4",
+        "--ir-seconds", "0.15",
+        "--duration", "8",
+    )
+    assert res2.returncode == 0
+    assert "Skipping existing scene" in (res2.stderr + res2.stdout)
+
+
+def test_ssseg_generate_dataset(fg_dir_2025, tmp_path):
+    res = run_script(
+        "scripts/ssseg/generate_dataset.py",
+        "--fg-dir", str(fg_dir_2025),
+        "--output-dir", str(tmp_path),
+        "--n-scenes", "1",
+        "--ism-order", "4",
+        "--duration", "5",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    mixtures = list((tmp_path / "mixtures").rglob("*.wav"))
+    stems = list((tmp_path / "stems").rglob("*_dry.wav"))
+    assert len(mixtures) >= 1
+    assert len(stems) >= 1  # dry stems rendered
+
+
+def test_generate_benchmark_script(tmp_path):
+    res = run_script(
+        "scripts/generate/benchmark.py",
+        "--n-scenes", "1",
+        "--duration", "5",
+        "--output-dir", str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "avg_seconds_per_scene=" in res.stdout
+
+
+def test_convert_to_dcase_format(fg_dir, tmp_path):
+    # First generate a scene, then convert its layout
+    gen_dir = tmp_path / "gen"
+    res = run_script(
+        "scripts/generate/generate_with_random_events.py",
+        "--fg-dir", str(fg_dir),
+        "--output-dir", str(gen_dir),
+        "--n-scenes", "1",
+        "--duration", "5",
+        "--n-static", "1",
+        "--n-moving", "0",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    conv_dir = tmp_path / "dcase"
+    res2 = run_script(
+        "scripts/generate/convert_to_dcase_format.py",
+        "--input-dir", str(gen_dir),
+        "--output-dir", str(conv_dir),
+        "--fmt", "mic",
+        "--split", "train",
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    assert (conv_dir / "mic_dev/dev-train-synth/fold1_room1_mix001.wav").is_file()
+    assert (conv_dir / "metadata_dev/dev-train-synth/fold1_room1_mix001.csv").is_file()
+
+
+def test_download_rirs_convert_offline(tmp_path):
+    """The offline npy->SOFA conversion path works without network."""
+    rng = np.random.default_rng(0)
+    in_dir = tmp_path / "npy"
+    in_dir.mkdir()
+    np.save(in_dir / "irs.npy", rng.standard_normal((5, 4, 256)))
+    np.save(in_dir / "source_positions.npy", rng.uniform(0, 3, (5, 3)))
+    np.save(in_dir / "listener_position.npy", np.array([1.0, 1.0, 1.0]))
+    np.save(in_dir / "receiver_positions.npy", rng.uniform(-0.05, 0.05, (4, 3)))
+
+    out = tmp_path / "test.sofa"
+    res = run_script(
+        "scripts/download_data/download_rirs.py",
+        "convert",
+        "--input-dir", str(in_dir),
+        "--output", str(out),
+        "--sample-rate", "24000",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert out.is_file()
+
+    from audiblelight_tpu.io.sofa import SOFAFile
+
+    with SOFAFile(out) as f:
+        assert f.data_shape == (5, 4, 256)
+        assert f.sampling_rate == 24000
+
+
+def test_download_data_gating():
+    """Network-dependent downloads raise descriptive errors offline."""
+    from audiblelight_tpu import download_data
+
+    for fn in [
+        download_data.download_fma,
+        download_data.download_gibson,
+        download_data.download_gibson_waypoints,
+        download_data.download_rirs,
+        download_data.download_visualgenome,
+    ]:
+        with pytest.raises((ImportError, NotImplementedError)):
+            fn("/tmp/nonexistent_dl")
