@@ -109,6 +109,9 @@ RAY_TRACER_INDIRECT_SH_ORDER = 1
 RAY_TRACER_FREQUENCY_BANDS = 4
 RAY_TRACER_MAX_IR_LENGTH = 4.0
 SPEED_OF_SOUND = 343.0
+# Use the Pallas first-hit kernel on TPU backends (exact-match fallback to the
+# chunked XLA path on other backends / very large meshes)
+USE_PALLAS_RAYCAST = True
 # Device-mesh axis names used by audiblelight_tpu.parallel
 MESH_AXIS_SCENE = "scene"  # data-parallel axis over scenes
 MESH_AXIS_TIME = "time"  # within-scene axis (time blocks / capsule groups)

@@ -222,15 +222,39 @@ def segments_occluded(
     return out
 
 
-@partial(jax.jit, static_argnames=("face_chunk",))
 def ray_mesh_first_hit(
     origins: jnp.ndarray, dirs: jnp.ndarray, tris: jnp.ndarray, face_chunk: int = 4096
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """First-hit distance and face index for rays against the mesh.
 
+    On TPU backends this dispatches to the Pallas kernel
+    (ops.pallas_kernels.ray_first_hit_pallas), which keeps each
+    (ray-block x face-chunk) tile in VMEM; elsewhere (or for very large meshes)
+    the chunked XLA formulation below runs. Both agree exactly.
+
     Returns:
         (t, face_idx): t is +inf (and face_idx -1) where a ray escapes.
     """
+    from audiblelight_tpu import config as _config
+
+    if getattr(_config, "USE_PALLAS_RAYCAST", True) and tris.shape[0] <= 16384:
+        from audiblelight_tpu.ops.pallas_kernels import (
+            pallas_supported,
+            ray_first_hit_pallas,
+        )
+
+        if pallas_supported():
+            origins2 = jnp.atleast_2d(origins)
+            dirs2 = jnp.atleast_2d(dirs)
+            return ray_first_hit_pallas(origins2, dirs2, tris)
+    return _ray_mesh_first_hit_xla(origins, dirs, tris, face_chunk)
+
+
+@partial(jax.jit, static_argnames=("face_chunk",))
+def _ray_mesh_first_hit_xla(
+    origins: jnp.ndarray, dirs: jnp.ndarray, tris: jnp.ndarray, face_chunk: int = 4096
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunked XLA first-hit (fallback / large-mesh path)."""
     origins = jnp.atleast_2d(origins)
     dirs = jnp.atleast_2d(dirs)
 

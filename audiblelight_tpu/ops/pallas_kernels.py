@@ -1,0 +1,197 @@
+"""Pallas TPU kernels for the ray tracer's hot loop.
+
+The stochastic tracer's per-bounce cost is dominated by first-hit queries:
+(rays x faces) Moller-Trumbore tests with a min/argmin reduction. The XLA
+formulation (geometry.queries.ray_mesh_first_hit) materialises (R, F) temporaries
+per face chunk in HBM; this Pallas kernel keeps each (ray-block x face-chunk)
+tile resident in VMEM, streams face chunks through a fori loop, and carries the
+running (t, idx) minima in registers/VMEM scratch.
+
+Layout: structure-of-arrays. Rays and triangles are passed as separate x/y/z
+component vectors reshaped to (n, LANES) tiles — the natural TPU layout for this
+all-VPU workload (there are no matmuls to feed the MXU here; every op is an
+8x128-vector elementwise op).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+RAY_BLOCK = 1024  # rays per grid step (8 f32 sublane rows — the TPU tile minimum)
+FACE_CHUNK = 128  # faces held in registers per inner iteration
+
+_EPS = 1e-9
+_BIG = 3.0e38
+
+
+def _first_hit_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # ray blocks (RAY_BLOCK, 1)
+    ax_ref, ay_ref, az_ref,  # triangle origin components (F_pad//LANES, LANES)
+    e1x_ref, e1y_ref, e1z_ref,
+    e2x_ref, e2y_ref, e2z_ref,
+    t_out_ref, idx_out_ref,
+):
+    """One grid step: all faces against one block of rays.
+
+    Ray components arrive as (RAY_BLOCK, 1) columns and face components as
+    (1, LANES) rows, so every operation is a natural 2D broadcast — no reshapes,
+    which Mosaic's layout inference cannot handle for (8,128)->(n,1) casts.
+    """
+    n_face_rows = ax_ref.shape[0]  # F_pad // LANES
+
+    ox = ox_ref[:]  # (BR, 1)
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+
+    def face_row(i, carry):
+        best_t, best_idx = carry
+        # One row of LANES faces: (1, LANES)
+        ax = ax_ref[i, :].reshape(1, -1)
+        ay = ay_ref[i, :].reshape(1, -1)
+        az = az_ref[i, :].reshape(1, -1)
+        e1x = e1x_ref[i, :].reshape(1, -1)
+        e1y = e1y_ref[i, :].reshape(1, -1)
+        e1z = e1z_ref[i, :].reshape(1, -1)
+        e2x = e2x_ref[i, :].reshape(1, -1)
+        e2y = e2y_ref[i, :].reshape(1, -1)
+        e2z = e2z_ref[i, :].reshape(1, -1)
+
+        # h = d x e2  -> (BR, LANES) per component
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        valid_a = jnp.abs(a) > _EPS
+        f = 1.0 / jnp.where(valid_a, a, 1.0)
+
+        sx = ox - ax
+        sy = oy - ay
+        sz = oz - az
+        u = f * (sx * hx + sy * hy + sz * hz)
+
+        # q = s x e1
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+        hit = (
+            valid_a
+            & (u >= -_EPS)
+            & (u <= 1.0 + _EPS)
+            & (v >= -_EPS)
+            & (u + v <= 1.0 + _EPS)
+            & (t > _EPS)
+        )
+        t_hit = jnp.where(hit, t, _BIG)
+
+        # Row-local min + argmin over the LANES axis, kept as (BR, 1) columns
+        row_min = jnp.min(t_hit, axis=1, keepdims=True)  # (BR, 1)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 1)
+        row_arg = jnp.min(
+            jnp.where(t_hit == row_min, lane_ids, LANES), axis=1, keepdims=True
+        )
+        face_id = i * LANES + row_arg
+
+        better = row_min < best_t
+        return jnp.where(better, row_min, best_t), jnp.where(better, face_id, best_idx)
+
+    br = ox.shape[0]
+    init = (
+        jnp.full((br, 1), _BIG, dtype=jnp.float32),
+        jnp.full((br, 1), -1, dtype=jnp.int32),
+    )
+    best_t, best_idx = jax.lax.fori_loop(0, n_face_rows, face_row, init)
+
+    t_out_ref[:] = best_t
+    idx_out_ref[:] = best_idx
+
+
+def _pad_to(x: jnp.ndarray, n: int, value) -> jnp.ndarray:
+    if x.shape[0] == n:
+        return x
+    return jnp.pad(x, (0, n - x.shape[0]), constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def ray_first_hit_pallas(
+    origins: jnp.ndarray, dirs: jnp.ndarray, tris: jnp.ndarray, interpret: bool = False
+):
+    """First-hit (t, face_idx) for rays against triangles via the Pallas kernel.
+
+    Arguments:
+        origins/dirs: (R, 3) float32.
+        tris: (F, 3, 3) float32 (sentinel-padded faces never hit).
+
+    Returns:
+        (t (R,), idx (R,)): t = +inf and idx = -1 where the ray escapes.
+    """
+    r = origins.shape[0]
+    f = tris.shape[0]
+    r_pad = max(RAY_BLOCK, ((r + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK)
+    f_pad = max(LANES, ((f + LANES - 1) // LANES) * LANES)
+
+    o = jnp.pad(origins.astype(jnp.float32), ((0, r_pad - r), (0, 0)))
+    d = jnp.pad(dirs.astype(jnp.float32), ((0, r_pad - r), (0, 0)), constant_values=1.0)
+
+    tri_a = tris[:, 0]
+    tri_e1 = tris[:, 1] - tris[:, 0]
+    tri_e2 = tris[:, 2] - tris[:, 0]
+    # Padded faces are degenerate (zero edges) -> never hit
+    comp = lambda x, i: _pad_to(x[:, i].astype(jnp.float32), f_pad, 0.0).reshape(-1, LANES)
+
+    ray_comp = lambda x, i: x[:, i].reshape(-1, 1)  # (r_pad, 1) columns
+
+    grid = (r_pad // RAY_BLOCK,)
+    # index_map returns BLOCK indices (units of block_shape), not element offsets
+    ray_spec = pl.BlockSpec(
+        (RAY_BLOCK, 1), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(
+        (f_pad // LANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    t, idx = pl.pallas_call(
+        _first_hit_kernel,
+        grid=grid,
+        in_specs=[ray_spec] * 6 + [tri_spec] * 9,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        ray_comp(o, 0), ray_comp(o, 1), ray_comp(o, 2),
+        ray_comp(d, 0), ray_comp(d, 1), ray_comp(d, 2),
+        comp(tri_a, 0), comp(tri_a, 1), comp(tri_a, 2),
+        comp(tri_e1, 0), comp(tri_e1, 1), comp(tri_e1, 2),
+        comp(tri_e2, 0), comp(tri_e2, 1), comp(tri_e2, 2),
+    )
+
+    t = t.reshape(-1)[:r]
+    idx = idx.reshape(-1)[:r]
+    t = jnp.where(t >= _BIG, jnp.inf, t)
+    idx = jnp.where(jnp.isinf(t), -1, idx)
+    return t, idx
+
+
+def pallas_supported() -> bool:
+    """True when the current backend can run the Pallas TPU kernels."""
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    return backend in ("tpu", "axon")

@@ -1,0 +1,83 @@
+"""Interpret-mode checks for the Pallas TPU kernels.
+
+On CPU the kernels run through the Pallas interpreter, which executes the exact
+kernel program the Mosaic compiler lowers on TPU — so these tests pin the kernel
+math (and its padding/sentinel handling) against the chunked XLA formulation.
+The kernel was additionally verified bit-exact against the XLA path on a real
+TPU v5e chip during development.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiblelight_tpu.geometry.mesh import box_mesh
+from audiblelight_tpu.geometry.queries import _ray_mesh_first_hit_xla
+from audiblelight_tpu.ops.pallas_kernels import (
+    LANES,
+    RAY_BLOCK,
+    pallas_supported,
+    ray_first_hit_pallas,
+)
+
+
+def _random_tris(rng, n):
+    a = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    tris = np.stack([a, a + rng.normal(0, 1, (n, 3)), a + rng.normal(0, 1, (n, 3))], 1)
+    return jnp.asarray(tris.astype(np.float32))
+
+
+def _check(origins, dirs, tris):
+    t_p, idx_p = ray_first_hit_pallas(origins, dirs, tris, interpret=True)
+    t_x, idx_x = _ray_mesh_first_hit_xla(origins, dirs, tris)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), rtol=1e-6, atol=1e-6)
+    # idx can only legitimately differ where two faces tie on t; none here
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+
+
+def test_first_hit_matches_xla_random(rng):
+    tris = _random_tris(np.random.default_rng(0), 300)
+    origins = jnp.asarray(rng.uniform(-5, 5, (200, 3)).astype(np.float32))
+    d = rng.standard_normal((200, 3)).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    _check(origins, dirs, tris)
+
+
+def test_first_hit_box_interior(rng):
+    """Rays from inside a box always hit; distances bounded by the diagonal."""
+    mesh = box_mesh(extents=[4.0, 3.0, 2.5], center=[2.0, 1.5, 1.25])
+    tris = jnp.asarray(mesh.triangles.astype(np.float32))
+    origins = jnp.asarray(rng.uniform([0.5] * 3, [3.5, 2.5, 2.0], (64, 3)).astype(np.float32))
+    d = rng.standard_normal((64, 3)).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    t_p, idx_p = ray_first_hit_pallas(origins, dirs, tris, interpret=True)
+    assert (np.asarray(idx_p) >= 0).all()
+    assert (np.asarray(t_p) <= np.linalg.norm([4, 3, 2.5]) + 1e-4).all()
+    _check(origins, dirs, tris)
+
+
+def test_first_hit_escaping_rays():
+    """Rays pointing away from all geometry return (+inf, -1)."""
+    tris = _random_tris(np.random.default_rng(1), 40)
+    origins = jnp.full((8, 3), 100.0, dtype=jnp.float32)
+    dirs = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], dtype=jnp.float32), (8, 1))
+    t, idx = ray_first_hit_pallas(origins, dirs, tris, interpret=True)
+    assert np.isinf(np.asarray(t)).all()
+    assert (np.asarray(idx) == -1).all()
+
+
+@pytest.mark.parametrize("r,f", [(1, 1), (7, 5), (RAY_BLOCK + 3, LANES + 1)])
+def test_first_hit_padding_shapes(rng, r, f):
+    """Non-multiple-of-block ray/face counts are padded internally and trimmed."""
+    tris = _random_tris(np.random.default_rng(2), f)
+    origins = jnp.asarray(rng.uniform(-3, 3, (r, 3)).astype(np.float32))
+    d = rng.standard_normal((r, 3)).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    t, idx = ray_first_hit_pallas(origins, dirs, tris, interpret=True)
+    assert t.shape == (r,) and idx.shape == (r,)
+    _check(origins, dirs, tris)
+
+
+def test_pallas_supported_reports_cpu_false():
+    # Tests force JAX_PLATFORMS=cpu; the dispatcher must fall back to XLA there.
+    assert pallas_supported() is False
