@@ -543,18 +543,30 @@ def dynamically_define_micarray(**kwargs) -> Type["MicArray"]:
         def coordinates_cartesian(self) -> np.ndarray:
             if kwargs.get("coordinates_cartesian") is not None:
                 return np.asarray(kwargs["coordinates_cartesian"], dtype=float)
+            if kwargs.get("coordinates_polar") is not None:
+                return utils.polar_to_cartesian(
+                    np.asarray(kwargs["coordinates_polar"], dtype=float)
+                )
             raise NotImplementedError
 
         @property
         def coordinates_polar(self) -> np.ndarray:
             if kwargs.get("coordinates_polar") is not None:
                 return np.asarray(kwargs["coordinates_polar"], dtype=float)
+            if kwargs.get("coordinates_cartesian") is not None:
+                return utils.cartesian_to_polar(
+                    np.asarray(kwargs["coordinates_cartesian"], dtype=float)
+                )
             raise NotImplementedError
 
         @property
         def capsule_names(self) -> list[str]:
             if kwargs.get("capsule_names") is not None:
                 return kwargs["capsule_names"]
+            # Default names from whichever coordinate set was provided
+            coords = kwargs.get("coordinates_cartesian", kwargs.get("coordinates_polar"))
+            if coords is not None:
+                return [f"capsule{i:03d}" for i in range(len(coords))]
             raise NotImplementedError
 
     if "micarray_type" in kwargs:
