@@ -95,6 +95,29 @@ class TriMesh:
             return False
         return bool(np.all(self._edge_counts() == 2))
 
+    @property
+    def is_convex(self) -> bool:
+        """True when every vertex lies on one side of every face plane.
+
+        For a convex watertight enclosure (e.g. any shoebox room) no interior
+        segment can intersect the surface, so occlusion tests between interior
+        points are provably always false — the ray tracer uses this to skip its
+        per-bounce visibility queries entirely (rir/raytracer.py).
+        """
+        if getattr(self, "_is_convex", None) is not None:
+            return self._is_convex
+        if len(self.faces) == 0 or not self.is_watertight:
+            self._is_convex = False
+            return False
+        tol = 1e-6 * float(np.max(np.ptp(self.vertices, axis=0)) + 1e-12)
+        normals = self.face_normals
+        anchors = self.vertices[self.faces[:, 0]]
+        # signed distances of every vertex to every face plane: (F, V)
+        s = np.einsum("fk,fvk->fv", normals, self.vertices[None] - anchors[:, None])
+        one_sided = np.all(s >= -tol, axis=1) | np.all(s <= tol, axis=1)
+        self._is_convex = bool(np.all(one_sided))
+        return self._is_convex
+
     def broken_faces(self) -> np.ndarray:
         """Indices of faces containing a boundary (non-manifold) edge."""
         f = self.faces

@@ -185,7 +185,6 @@ def nearest_surface_distance(
     return jnp.sqrt(d2_min)
 
 
-@partial(jax.jit, static_argnames=("face_chunk",))
 def segments_occluded(
     starts: jnp.ndarray, ends: jnp.ndarray, tris: jnp.ndarray, face_chunk: int = 4096
 ) -> jnp.ndarray:
@@ -193,7 +192,31 @@ def segments_occluded(
 
     A small endpoint margin keeps segments that *touch* the surface at their
     endpoints (e.g. emitters placed on walls) from counting as occluded.
+
+    On TPU backends this dispatches to the Pallas any-hit kernel
+    (ops.pallas_kernels.segments_occluded_pallas); the chunked XLA formulation
+    below is the fallback. Both agree exactly.
     """
+    from audiblelight_tpu import config as _config
+
+    if getattr(_config, "USE_PALLAS_RAYCAST", True) and tris.shape[0] <= 16384:
+        from audiblelight_tpu.ops.pallas_kernels import (
+            pallas_supported,
+            segments_occluded_pallas,
+        )
+
+        if pallas_supported():
+            return segments_occluded_pallas(
+                jnp.atleast_2d(starts), jnp.atleast_2d(ends), tris
+            )
+    return _segments_occluded_xla(starts, ends, tris, face_chunk)
+
+
+@partial(jax.jit, static_argnames=("face_chunk",))
+def _segments_occluded_xla(
+    starts: jnp.ndarray, ends: jnp.ndarray, tris: jnp.ndarray, face_chunk: int = 4096
+) -> jnp.ndarray:
+    """Chunked XLA segment occlusion (fallback / large-mesh path)."""
     starts = jnp.atleast_2d(starts)
     ends = jnp.atleast_2d(ends)
     seg = ends - starts

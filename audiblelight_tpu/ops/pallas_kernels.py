@@ -188,6 +188,123 @@ def ray_first_hit_pallas(
     return t, idx
 
 
+def _any_hit_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, len_ref,  # segment blocks (RAY_BLOCK, 1)
+    ax_ref, ay_ref, az_ref,
+    e1x_ref, e1y_ref, e1z_ref,
+    e2x_ref, e2y_ref, e2z_ref,
+    occ_out_ref,
+):
+    """Segment-occlusion: does ANY face intersect the open segment?
+
+    Same tiling as _first_hit_kernel but the reduction is a boolean any() with
+    the segment-interior window (margin < t < length - margin), matching the
+    XLA path in geometry.queries.segments_occluded.
+    """
+    n_face_rows = ax_ref.shape[0]
+    margin = 1e-4
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    seg_len = len_ref[:]
+
+    def face_row(i, blocked):
+        ax = ax_ref[i, :].reshape(1, -1)
+        ay = ay_ref[i, :].reshape(1, -1)
+        az = az_ref[i, :].reshape(1, -1)
+        e1x = e1x_ref[i, :].reshape(1, -1)
+        e1y = e1y_ref[i, :].reshape(1, -1)
+        e1z = e1z_ref[i, :].reshape(1, -1)
+        e2x = e2x_ref[i, :].reshape(1, -1)
+        e2y = e2y_ref[i, :].reshape(1, -1)
+        e2z = e2z_ref[i, :].reshape(1, -1)
+
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        valid_a = jnp.abs(a) > _EPS
+        f = 1.0 / jnp.where(valid_a, a, 1.0)
+
+        sx = ox - ax
+        sy = oy - ay
+        sz = oz - az
+        u = f * (sx * hx + sy * hy + sz * hz)
+
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+        hit = (
+            valid_a
+            & (u >= -_EPS)
+            & (u <= 1.0 + _EPS)
+            & (v >= -_EPS)
+            & (u + v <= 1.0 + _EPS)
+            & (t > margin)
+            & (t < seg_len - margin)
+        )
+        row_any = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)  # (BR, 1)
+        return jnp.maximum(blocked, row_any)
+
+    br = ox.shape[0]
+    init = jnp.zeros((br, 1), dtype=jnp.int32)
+    occ_out_ref[:] = jax.lax.fori_loop(0, n_face_rows, face_row, init)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def segments_occluded_pallas(
+    starts: jnp.ndarray, ends: jnp.ndarray, tris: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """(R,) bools: open segment start->end blocked by the mesh (Pallas kernel).
+
+    Matches geometry.queries.segments_occluded (same endpoint margin semantics).
+    """
+    r = starts.shape[0]
+    f = tris.shape[0]
+    r_pad = max(RAY_BLOCK, ((r + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK)
+    f_pad = max(LANES, ((f + LANES - 1) // LANES) * LANES)
+
+    seg = ends - starts
+    length = jnp.linalg.norm(seg.astype(jnp.float32), axis=-1)
+    dirs = seg / jnp.maximum(length, _EPS)[:, None]
+
+    o = jnp.pad(starts.astype(jnp.float32), ((0, r_pad - r), (0, 0)))
+    d = jnp.pad(dirs.astype(jnp.float32), ((0, r_pad - r), (0, 0)), constant_values=1.0)
+    # Padded segments have length 0 -> the (margin, length - margin) window is empty
+    ln = jnp.pad(length, (0, r_pad - r)).reshape(-1, 1)
+
+    tri_a = tris[:, 0]
+    tri_e1 = tris[:, 1] - tris[:, 0]
+    tri_e2 = tris[:, 2] - tris[:, 0]
+    comp = lambda x, i: _pad_to(x[:, i].astype(jnp.float32), f_pad, 0.0).reshape(-1, LANES)
+    ray_comp = lambda x, i: x[:, i].reshape(-1, 1)
+
+    grid = (r_pad // RAY_BLOCK,)
+    ray_spec = pl.BlockSpec((RAY_BLOCK, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(
+        (f_pad // LANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    occ = pl.pallas_call(
+        _any_hit_kernel,
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        interpret=interpret,
+    )(
+        ray_comp(o, 0), ray_comp(o, 1), ray_comp(o, 2),
+        ray_comp(d, 0), ray_comp(d, 1), ray_comp(d, 2), ln,
+        comp(tri_a, 0), comp(tri_a, 1), comp(tri_a, 2),
+        comp(tri_e1, 0), comp(tri_e1, 1), comp(tri_e1, 2),
+        comp(tri_e2, 0), comp(tri_e2, 1), comp(tri_e2, 2),
+    )
+    return occ.reshape(-1)[:r].astype(bool)
+
+
 def pallas_supported() -> bool:
     """True when the current backend can run the Pallas TPU kernels."""
     try:

@@ -70,7 +70,7 @@ def _cosine_hemisphere(key, normals: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "encoding", "face_chunk"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "encoding", "face_chunk", "occlusion"),
 )
 def trace_energy_histogram(
     key: jax.Array,
@@ -86,6 +86,7 @@ def trace_energy_histogram(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     face_chunk: int = 4096,
+    occlusion: bool = True,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -155,9 +156,14 @@ def trace_energy_histogram(
         cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
 
         # Visibility: offset start off the surface to dodge self-intersection
-        starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, n_rays, 3)).reshape(-1, 3)
-        ends = jnp.repeat(listener_pos, n_rays, axis=0)
-        occ = segments_occluded(starts, ends, tris, face_chunk).reshape(cl, n_rays)
+        if occlusion:
+            starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, n_rays, 3)).reshape(-1, 3)
+            ends = jnp.repeat(listener_pos, n_rays, axis=0)
+            occ = segments_occluded(starts, ends, tris, face_chunk).reshape(cl, n_rays)
+        else:
+            # Convex enclosure: interior segments are never blocked
+            # (geometry.mesh.TriMesh.is_convex), so the query is skipped exactly.
+            occ = jnp.zeros((cl, n_rays), dtype=bool)
 
         visible = hit_ok[None] & (~occ) & (cos_th > 0)
         # pressure^2-unit deposit: E*(1-a)*cos(theta) / (4 pi^2 d^2)
@@ -366,6 +372,7 @@ def trace_rirs(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     face_chunk: int = 4096,
+    occlusion: bool = True,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
 
@@ -387,6 +394,7 @@ def trace_rirs(
         c=c,
         encoding=encoding,
         face_chunk=face_chunk,
+        occlusion=occlusion,
     )
     band_freqs = jnp.asarray(
         np.geomspace(125.0, 8000.0, face_absorption.shape[1])
@@ -404,7 +412,7 @@ def trace_rirs(
 
 @partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "encoding", "face_chunk", "n_sources"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "encoding", "face_chunk", "n_sources", "occlusion"),
 )
 def trace_energy_histogram_multi(
     key: jax.Array,
@@ -421,6 +429,7 @@ def trace_energy_histogram_multi(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     face_chunk: int = 4096,
+    occlusion: bool = True,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
 
@@ -474,9 +483,14 @@ def trace_energy_histogram_multi(
         dir_l = vec / jnp.maximum(d_l[..., None], 1e-9)
         cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
 
-        starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, total_rays, 3)).reshape(-1, 3)
-        ends = jnp.repeat(listener_pos, total_rays, axis=0)
-        occ = segments_occluded(starts, ends, tris, face_chunk).reshape(cl, total_rays)
+        if occlusion:
+            starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, total_rays, 3)).reshape(-1, 3)
+            ends = jnp.repeat(listener_pos, total_rays, axis=0)
+            occ = segments_occluded(starts, ends, tris, face_chunk).reshape(cl, total_rays)
+        else:
+            # Convex enclosure: interior segments are never blocked
+            # (geometry.mesh.TriMesh.is_convex), so the query is skipped exactly.
+            occ = jnp.zeros((cl, total_rays), dtype=bool)
 
         visible = hit_ok[None] & (~occ) & (cos_th > 0)
         deposit = (
@@ -541,6 +555,7 @@ def trace_rirs_multi(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     face_chunk: int = 4096,
+    occlusion: bool = True,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
@@ -566,6 +581,7 @@ def trace_rirs_multi(
         c=c,
         encoding=encoding,
         face_chunk=face_chunk,
+        occlusion=occlusion,
     )  # (E, C_out, B, bins)
 
     band_freqs = jnp.asarray(

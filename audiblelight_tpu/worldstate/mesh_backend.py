@@ -488,6 +488,9 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 bin_dt=float(self.cfg.hist_bin_dt),
                 c=float(self.cfg.speed_of_sound),
                 encoding=encoding,
+                # Convex rooms have no interior occlusion: skip the per-bounce
+                # visibility queries exactly (the tracer's dominant cost).
+                occlusion=not self.mesh.is_convex,
             )
             arr = np.asarray(irs)
             mic.irs = arr

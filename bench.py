@@ -183,6 +183,7 @@ def main():
             sub, tris, absorption, scattering,
             jnp.asarray(sources, dtype=jnp.float32), caps,
             n_samples=ir_len, sr=SR, n_rays=N_RAYS, max_depth=MAX_DEPTH,
+            occlusion=not mesh.is_convex,  # convex room: no interior occlusion
         )  # (4, B*13, ir_len)
         irs_batch = jnp.moveaxis(irs.reshape(4, BATCH, n_src, ir_len), 1, 0)
 

@@ -12,12 +12,16 @@ import numpy as np
 import pytest
 
 from audiblelight_tpu.geometry.mesh import box_mesh
-from audiblelight_tpu.geometry.queries import _ray_mesh_first_hit_xla
+from audiblelight_tpu.geometry.queries import (
+    _ray_mesh_first_hit_xla,
+    _segments_occluded_xla,
+)
 from audiblelight_tpu.ops.pallas_kernels import (
     LANES,
     RAY_BLOCK,
     pallas_supported,
     ray_first_hit_pallas,
+    segments_occluded_pallas,
 )
 
 
@@ -76,6 +80,59 @@ def test_first_hit_padding_shapes(rng, r, f):
     t, idx = ray_first_hit_pallas(origins, dirs, tris, interpret=True)
     assert t.shape == (r,) and idx.shape == (r,)
     _check(origins, dirs, tris)
+
+
+def test_occlusion_matches_xla_random(rng):
+    tris = _random_tris(np.random.default_rng(5), 200)
+    starts = jnp.asarray(rng.uniform(-5, 5, (300, 3)).astype(np.float32))
+    ends = jnp.asarray(rng.uniform(-5, 5, (300, 3)).astype(np.float32))
+    occ_p = np.asarray(segments_occluded_pallas(starts, ends, tris, interpret=True))
+    occ_x = np.asarray(_segments_occluded_xla(starts, ends, tris))
+    assert occ_p.dtype == bool
+    np.testing.assert_array_equal(occ_p, occ_x)
+    # sanity: the random soup actually blocks some but not all segments
+    assert 0 < occ_p.sum() < len(occ_p)
+
+
+def test_occlusion_box_walls(rng):
+    """Interior segments in a convex box are never occluded; segments passing
+    through a wall always are."""
+    mesh = box_mesh(extents=[4.0, 3.0, 2.5], center=[2.0, 1.5, 1.25])
+    tris = jnp.asarray(mesh.triangles.astype(np.float32))
+    inside_a = jnp.asarray(rng.uniform([0.3] * 3, [3.7, 2.7, 2.2], (32, 3)).astype(np.float32))
+    inside_b = jnp.asarray(rng.uniform([0.3] * 3, [3.7, 2.7, 2.2], (32, 3)).astype(np.float32))
+    occ = np.asarray(segments_occluded_pallas(inside_a, inside_b, tris, interpret=True))
+    assert not occ.any()
+    outside = inside_b + jnp.asarray([10.0, 0.0, 0.0])
+    occ2 = np.asarray(segments_occluded_pallas(inside_a, outside, tris, interpret=True))
+    assert occ2.all()
+
+
+def test_occlusion_endpoint_margin():
+    """A segment ending exactly ON a wall is not counted as occluded."""
+    mesh = box_mesh(extents=[4.0, 3.0, 2.5], center=[2.0, 1.5, 1.25])
+    tris = jnp.asarray(mesh.triangles.astype(np.float32))
+    starts = jnp.asarray([[2.0, 1.5, 1.25]], dtype=jnp.float32)
+    ends = jnp.asarray([[4.0, 1.5, 1.25]], dtype=jnp.float32)  # on the +x wall
+    occ = np.asarray(segments_occluded_pallas(starts, ends, tris, interpret=True))
+    occ_x = np.asarray(_segments_occluded_xla(starts, ends, tris))
+    assert not occ[0] and not occ_x[0]
+
+
+def test_box_convexity_flag():
+    box = box_mesh(extents=[4.0, 3.0, 2.5], center=[2.0, 1.5, 1.25])
+    assert box.is_convex
+    # Gluing a second box onto a face creates a concave union of vertices
+    import numpy as _np
+
+    other = box_mesh(extents=[2.0, 1.0, 1.0], center=[5.0, 1.5, 1.25])
+    from audiblelight_tpu.geometry.mesh import TriMesh
+
+    merged = TriMesh(
+        _np.vstack([box.vertices, other.vertices]),
+        _np.vstack([box.faces, other.faces + len(box.vertices)]),
+    )
+    assert not merged.is_convex
 
 
 def test_pallas_supported_reports_cpu_false():
