@@ -305,6 +305,103 @@ def segments_occluded_pallas(
     return occ.reshape(-1)[:r].astype(bool)
 
 
+HIST_RAY_BLOCK = 1024  # rays per grid step for the histogram kernel
+
+
+def _bin_histogram_kernel(bins_ref, dep_ref, out_ref):
+    """One grid step: fold ALL of one group's rays into its histogram.
+
+    The scatter-add the XLA path performs (hist.at[...,bins].add) serialises on
+    duplicate bins; here the one-hot bin matrix is built in VMEM from an iota
+    comparison and the accumulation becomes MXU matmuls:
+    out[bin, k] = sum_r 1[bins[r]==bin] * dep[k, r]. The one-hot never touches
+    HBM, so traffic drops from O(R * n_bins) to O(R * K). Precision HIGHEST
+    keeps the fp32 deposits exact to ~3e-7 (the TPU matmul default rounds the
+    deposits to bf16, a 1.6e-3 relative error).
+    """
+    n_bins_pad = out_ref.shape[1]
+    r_pad = bins_ref.shape[2]
+    n_chunks = r_pad // HIST_RAY_BLOCK
+
+    def chunk(i, acc):
+        sl = pl.ds(i * HIST_RAY_BLOCK, HIST_RAY_BLOCK)
+        # one_hot[bin, ray] for this chunk of rays
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_bins_pad, HIST_RAY_BLOCK), 0)
+            == bins_ref[0, :, sl]
+        ).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            oh,
+            dep_ref[0, :, sl],
+            (((1,), (1,)), ((), ())),  # contract over the ray axis
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    init = jnp.zeros((n_bins_pad, out_ref.shape[2]), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+
+@partial(jax.jit, static_argnames=("n_bins", "interpret"))
+def bin_histogram_pallas(
+    bins: jnp.ndarray, dep: jnp.ndarray, n_bins: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Grouped histogram: out[g, bin, k] = sum over rays r of dep[g, r, k]
+    where bins[g, r] == bin.
+
+    Arguments:
+        bins: (G, R) int32 bin indices (negative values deposit nowhere).
+        dep: (G, R, K) float32 deposits.
+    Returns:
+        (G, n_bins, K) float32.
+    """
+    g, r, k = dep.shape
+    r_pad = max(HIST_RAY_BLOCK, ((r + HIST_RAY_BLOCK - 1) // HIST_RAY_BLOCK) * HIST_RAY_BLOCK)
+    bins_pad = max(LANES, ((n_bins + LANES - 1) // LANES) * LANES)
+
+    # Padded rays get bin -1 -> match no lane of the iota -> zero contribution.
+    # Rays sit on the minor (contiguous) axis so every DMA row is dense.
+    bins_p = jnp.pad(bins.astype(jnp.int32), ((0, 0), (0, r_pad - r)), constant_values=-1)
+    dep_p = jnp.pad(dep.astype(jnp.float32), ((0, 0), (0, r_pad - r), (0, 0)))
+    dep_t = jnp.moveaxis(dep_p, 1, 2)  # (G, K, r_pad)
+
+    grid = (g,)
+    out = pl.pallas_call(
+        _bin_histogram_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, r_pad), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, r_pad), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bins_pad, k), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, bins_pad, k), jnp.float32),
+        interpret=interpret,
+    )(bins_p[:, None, :], dep_t)
+
+    return out[:, :n_bins, :]
+
+
+def bin_histogram(bins: jnp.ndarray, dep: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Grouped histogram with automatic backend dispatch (see bin_histogram_pallas).
+
+    Falls back to an XLA scatter-add off TPU — identical results, the TPU kernel
+    just avoids the scatter serialisation.
+    """
+    from audiblelight_tpu import config as _config
+
+    if getattr(_config, "USE_PALLAS_RAYCAST", True) and pallas_supported():
+        return bin_histogram_pallas(bins, dep, n_bins)
+    g = dep.shape[0]
+    out = jnp.zeros((g, n_bins, dep.shape[2]), dtype=jnp.float32)
+    # clip() keeps negative sentinels in-bounds; their deposits are zero by contract
+    safe = jnp.clip(bins, 0, n_bins - 1)
+    return out.at[jnp.arange(g)[:, None], safe, :].add(
+        jnp.where((bins >= 0)[..., None], dep, 0.0)
+    )
+
+
 def pallas_supported() -> bool:
     """True when the current backend can run the Pallas TPU kernels."""
     try:

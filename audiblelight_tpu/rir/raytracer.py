@@ -33,6 +33,7 @@ import numpy as np
 
 from audiblelight_tpu import config
 from audiblelight_tpu.geometry.queries import ray_mesh_first_hit, segments_occluded
+from audiblelight_tpu.ops.pallas_kernels import bin_histogram
 from audiblelight_tpu.rir.sh import binaural_encoding_gains, foa_encoding_gains
 
 
@@ -179,13 +180,10 @@ def trace_energy_histogram(
         deposit = deposit * in_range[..., None]
 
         if encoding == "omni":
-            # hist: (C, B, n_bins); scatter-add each listener's deposits
-            def add_listener(ci, h):
-                # Index tuple (scalar, slice, array) puts the advanced (ray) axis
-                # first: target shape (R, B), matching deposit[ci].
-                return h.at[ci, :, bin_idx[ci]].add(deposit[ci].astype(h.dtype))
-
-            hist = jax.lax.fori_loop(0, cl, add_listener, hist)
+            # hist: (C, B, n_bins). bin_histogram folds each listener's deposits
+            # with an in-VMEM one-hot matmul on TPU (scatter-add elsewhere).
+            add = bin_histogram(bin_idx, deposit, n_bins)  # (C, n_bins, B)
+            hist = hist + jnp.moveaxis(add, 1, 2)
         else:
             # Single listener; accumulate channel-weighted deposits
             if encoding == "foa":
@@ -193,8 +191,11 @@ def trace_energy_histogram(
             else:
                 gains = binaural_encoding_gains(dir_l[0])  # (R, 2)
             weighted = deposit[0][:, None, :] * gains[:, :, None]  # (R, C_out, B)
-            hist = hist.at[:, :, bin_idx[0]].add(
-                jnp.moveaxis(weighted, 0, -1).astype(hist.dtype)
+            add = bin_histogram(
+                bin_idx[0:1], weighted.reshape(1, n_rays, -1), n_bins
+            )  # (1, n_bins, C_out*B)
+            hist = hist + jnp.moveaxis(
+                add.reshape(n_bins, hist.shape[0], n_bands), 0, -1
             )
 
         # --- Reflect ----------------------------------------------------------
@@ -505,18 +506,31 @@ def trace_energy_histogram_multi(
         deposit = deposit * in_range[..., None]
 
         if encoding == "omni":
-            def add_listener(ci, h):
-                # (scalar-broadcast src, scalar ci, slice, array bin) -> (TR, B)
-                return h.at[src_idx, ci, :, bin_idx[ci]].add(deposit[ci].astype(h.dtype))
-
-            hist = jax.lax.fori_loop(0, cl, add_listener, hist)
+            # Group rays as (capsule, source): one histogram fold per group.
+            add = bin_histogram(
+                bin_idx.reshape(cl * n_sources, n_rays),
+                deposit.reshape(cl, n_sources, n_rays, n_bands).reshape(
+                    cl * n_sources, n_rays, n_bands
+                ),
+                n_bins,
+            )  # (C*E, n_bins, B)
+            hist = hist + jnp.transpose(
+                add.reshape(cl, n_sources, n_bins, n_bands), (1, 0, 3, 2)
+            )
         else:
             if encoding == "foa":
                 gains = foa_encoding_gains(dir_l[0])  # (TR, 4)
             else:
                 gains = binaural_encoding_gains(dir_l[0])  # (TR, 2)
             weighted = deposit[0][:, None, :] * gains[:, :, None]  # (TR, C_out, B)
-            hist = hist.at[src_idx, :, :, bin_idx[0]].add(weighted.astype(hist.dtype))
+            add = bin_histogram(
+                bin_idx[0].reshape(n_sources, n_rays),
+                weighted.reshape(n_sources, n_rays, -1),
+                n_bins,
+            )  # (E, n_bins, C_out*B)
+            hist = hist + jnp.transpose(
+                add.reshape(n_sources, n_bins, c_out, n_bands), (0, 2, 3, 1)
+            )
 
         # Reflect
         k_spec, k_diff = jax.random.split(k_step)

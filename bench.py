@@ -224,6 +224,50 @@ def main():
     for i in range(N_WARMUP_BATCHES):
         drain(*one_batch(1000 + i))
 
+    # Chip-side render throughput: inputs pre-staged on device, synced with a
+    # scalar digest per batch — measures the RIR trace + full render + int16
+    # quantise with no host link in the loop. On production hardware the host
+    # link is PCIe (GB/s) and the full pipeline tracks this number; through the
+    # development tunnel (~1-10 MB/s each way) the transfer-bound pipeline
+    # number below can sit far under it.
+    srng = np.random.default_rng(3000)
+    staged_sources = jnp.asarray(
+        np.concatenate([np.concatenate(sample_layout(srng)) for _ in range(BATCH)]),
+        dtype=jnp.float32,
+    )
+    staged = dict(
+        sa=jnp.asarray(srng.random((BATCH, N_STATIC, s_pad), np.float32)),
+        ma=jnp.asarray(srng.random((BATCH, 1, s_pad), np.float32)),
+        ssnr=jnp.asarray(srng.uniform(5, 30, (BATCH, N_STATIC)).astype(np.float32)),
+        msnr=jnp.asarray(srng.uniform(5, 30, (BATCH, 1)).astype(np.float32)),
+        sstart=jnp.asarray(srng.integers(0, t_total - s_pad, (BATCH, N_STATIC)).astype(np.int32)),
+        mstart=jnp.asarray(srng.integers(0, t_total - s_pad, (BATCH, 1)).astype(np.int32)),
+        w=jnp.asarray(w_interp),
+    )
+
+    def chip_batch(k):
+        irs = trace_rirs_multi(
+            k, tris, absorption, scattering, staged_sources, caps,
+            n_samples=ir_len, sr=SR, n_rays=N_RAYS, max_depth=MAX_DEPTH,
+            occlusion=not mesh.is_convex,
+        )
+        irs_b = jnp.moveaxis(irs.reshape(4, BATCH, n_src, ir_len), 1, 0)
+        digest = jnp.float32(0)
+        for b in range(BATCH):
+            out = render_one_i16(
+                irs_b[b], staged["sa"][b], staged["ssnr"][b], staged["sstart"][b],
+                staged["ma"][b], staged["msnr"][b], staged["mstart"][b], staged["w"],
+            )
+            digest = digest + jnp.sum(out[:, :: SR].astype(jnp.int32))
+        return digest
+
+    _ = float(chip_batch(jax.random.PRNGKey(42)))  # warm (programs already cached)
+    t0 = time.time()
+    for i in range(N_MEASURE_BATCHES):
+        _ = float(chip_batch(jax.random.PRNGKey(100 + i)))
+    chip_elapsed = time.time() - t0
+    chip_value = N_MEASURE_BATCHES * BATCH * SCENE_SECONDS / chip_elapsed
+
     # Pipelined measurement: batch k+1's device work dispatches before batch k's
     # host drain, overlapping transfer/IO with compute.
     t0 = time.time()
@@ -245,6 +289,7 @@ def main():
                 "value": round(scene_seconds_per_sec, 2),
                 "unit": "scene-seconds/sec/chip",
                 "vs_baseline": round(scene_seconds_per_sec / 100.0, 3),
+                "chip_render_value": round(chip_value, 2),
             }
         )
     )

@@ -19,6 +19,8 @@ from audiblelight_tpu.geometry.queries import (
 from audiblelight_tpu.ops.pallas_kernels import (
     LANES,
     RAY_BLOCK,
+    bin_histogram,
+    bin_histogram_pallas,
     pallas_supported,
     ray_first_hit_pallas,
     segments_occluded_pallas,
@@ -133,6 +135,36 @@ def test_box_convexity_flag():
         _np.vstack([box.faces, other.faces + len(box.vertices)]),
     )
     assert not merged.is_convex
+
+
+@pytest.mark.parametrize("g,r,k,n_bins", [(3, 100, 4, 17), (2, 1500, 16, 251), (1, 1, 1, 1)])
+def test_bin_histogram_oracle(rng, g, r, k, n_bins):
+    """Grouped histogram (the tracer's energy-accumulation primitive) matches a
+    numpy loop, in both the interpret-mode kernel and the XLA fallback."""
+    dep = rng.random((g, r, k)).astype(np.float32)
+    bins = rng.integers(0, n_bins, (g, r)).astype(np.int32)
+    oracle = np.zeros((g, n_bins, k), np.float32)
+    for gi in range(g):
+        for ri in range(r):
+            oracle[gi, bins[gi, ri]] += dep[gi, ri]
+
+    got_kernel = np.asarray(
+        bin_histogram_pallas(jnp.asarray(bins), jnp.asarray(dep), n_bins, interpret=True)
+    )
+    np.testing.assert_allclose(got_kernel, oracle, rtol=1e-5, atol=1e-6)
+
+    got_xla = np.asarray(bin_histogram(jnp.asarray(bins), jnp.asarray(dep), n_bins))
+    np.testing.assert_allclose(got_xla, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_bin_histogram_negative_bins_ignored(rng):
+    dep = np.ones((1, 8, 2), np.float32)
+    bins = np.array([[0, 1, -1, 2, -1, 1, 0, 3]], np.int32)
+    out = np.asarray(bin_histogram_pallas(jnp.asarray(bins), jnp.asarray(dep), 4, interpret=True))
+    np.testing.assert_allclose(out[0, :, 0], [2, 2, 1, 1])
+    # the XLA fallback applies the same negative-bin contract
+    out_xla = np.asarray(bin_histogram(jnp.asarray(bins), jnp.asarray(dep), 4))
+    np.testing.assert_allclose(out_xla, out)
 
 
 def test_pallas_supported_reports_cpu_false():
