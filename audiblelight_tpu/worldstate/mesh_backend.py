@@ -501,6 +501,31 @@ class WorldStateRLR(PlacementMixin, WorldState):
     # Visualisation (host-side, matplotlib)
     # ------------------------------------------------------------------
 
+    def create_scene(self) -> dict:
+        """A composite 3D scene of the room with marker geometry for every
+        microphone capsule (red boxes) and emitter (blue boxes).
+
+        The reference returns a trimesh.Scene (reference worldstate.py:2257-2294);
+        here the same content is a dict of named TriMesh parts, which plots with
+        create_plot, exports via each part's vertices/faces, and needs no
+        scene-graph dependency.
+        """
+        from audiblelight_tpu.geometry.mesh import box_mesh
+
+        parts = {"mesh": self.mesh}
+        marker = [0.12, 0.12, 0.12]
+        for alias, mic in self.microphones.items():
+            for ci, cap in enumerate(np.atleast_2d(mic.coordinates_absolute)):
+                parts[f"{alias}_capsule{ci:03d}"] = box_mesh(
+                    extents=marker, center=cap, inward_normals=False
+                )
+        for alias, emitters in self.emitters.items():
+            for ei, em in enumerate(emitters):
+                parts[f"{alias}_{ei:03d}"] = box_mesh(
+                    extents=marker, center=em.coordinates_absolute, inward_normals=False
+                )
+        return parts
+
     def create_plot(self):
         """Top-down and side-view scatter figure of mesh, mics and emitters."""
         import matplotlib.pyplot as plt
