@@ -589,12 +589,18 @@ def generate_scene_video_from_events(
 
     from pathlib import Path
 
-    out = Path(video_path).with_suffix(".gif")
+    from audiblelight_tpu.io.avi import write_mjpeg_avi
+
+    # Primary output: MJPEG AVI (the dependency-free stand-in for the
+    # reference's OpenCV mp4, reference synthesize.py:1202-1280); a GIF is
+    # written alongside for inline previews.
+    out = write_mjpeg_avi(Path(video_path).with_suffix(".avi"), frames_out, fps)
+    gif = Path(video_path).with_suffix(".gif")
     frames_out[0].save(
-        out,
+        gif,
         save_all=True,
         append_images=frames_out[1:],
         duration=int(1000 / fps),
         loop=0,
     )
-    logger.info(f"Wrote scene video ({n_frames} frames @ {fps} fps) to {out}")
+    logger.info(f"Wrote scene video ({n_frames} frames @ {fps} fps) to {out} (+ {gif.name})")

@@ -71,3 +71,31 @@ def test_get_duration_rejects_non_wav(tmp_path):
     p.write_bytes(b"not audio")
     with pytest.raises(ValueError):
         get_duration(p)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG AVI muxer
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip(tmp_path):
+    from audiblelight_tpu.io.avi import read_avi_frame_count, write_mjpeg_avi
+
+    rng = np.random.default_rng(0)
+    frames = [(rng.random((64, 96, 3)) * 255).astype(np.uint8) for _ in range(7)]
+    out = write_mjpeg_avi(tmp_path / "clip.avi", frames, fps=10)
+    data = out.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert b"MJPG" in data[:200]
+    assert data.count(b"00dc") >= 7  # one frame chunk each (+ idx1 entries)
+    assert read_avi_frame_count(out) == 7
+
+
+def test_mjpeg_avi_errors(tmp_path):
+    from audiblelight_tpu.io.avi import write_mjpeg_avi
+
+    with pytest.raises(ValueError):
+        write_mjpeg_avi(tmp_path / "x.avi", [], fps=10)
+    frames = [np.zeros((32, 32, 3), np.uint8), np.zeros((16, 32, 3), np.uint8)]
+    with pytest.raises(ValueError):
+        write_mjpeg_avi(tmp_path / "y.avi", frames, fps=10)
