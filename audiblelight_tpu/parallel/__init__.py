@@ -113,4 +113,65 @@ def shard_render(batched: dict, mesh: Mesh, normalize: bool = False) -> jnp.ndar
     return fn(*args)
 
 
-__all__ = ["make_mesh", "stack_plans", "render_batch", "shard_render"]
+def shard_trace_rirs(
+    mesh: Mesh,
+    key,
+    tris,
+    face_absorption,
+    face_scattering,
+    source_positions,
+    listener_pos,
+    n_samples: int,
+    **trace_kwargs,
+) -> jnp.ndarray:
+    """RIR tracing with the SOURCE axis sharded over the mesh's "scene" axis.
+
+    Ray tracing is embarrassingly parallel over sources, so each device runs
+    the wavefront tracer (rir.raytracer.trace_rirs_multi) on its local slice of
+    the source batch against replicated geometry — no collectives on the hot
+    path. Each shard derives its own PRNG stream by folding in its axis index,
+    so results are deterministic for a fixed (key, mesh shape).
+
+    source_positions: (E, 3) with E divisible by the "scene" axis size.
+    Returns (C_out, E, n_samples), sharded over the source axis.
+    """
+    from audiblelight_tpu.rir.raytracer import trace_rirs_multi
+
+    n_shards = mesh.shape["scene"]
+    e = source_positions.shape[0]
+    if e % n_shards != 0:
+        raise ValueError(f"Source count {e} must be divisible by mesh 'scene' size {n_shards}")
+
+    # Precompute triangle normals OUTSIDE the shard_map body: inlining the
+    # cross+normalize into the larger traced region miscompiles on the axon TPU
+    # backend (normals blow up ~1e13; see the note in rir.raytracer).
+    tn = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    tri_normals = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-12)
+
+    def _trace_local(src_local, normals):
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index("scene"))
+        return trace_rirs_multi(
+            shard_key,
+            tris,
+            face_absorption,
+            face_scattering,
+            src_local,
+            listener_pos,
+            n_samples=n_samples,
+            tri_normals=normals,
+            **trace_kwargs,
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            _trace_local,
+            mesh=mesh,
+            in_specs=(P("scene"), P()),
+            out_specs=P(None, "scene", None),
+            check_vma=False,
+        )
+    )
+    return fn(source_positions, tri_normals)
+
+
+__all__ = ["make_mesh", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs"]

@@ -88,6 +88,7 @@ def trace_energy_histogram(
     encoding: str = "omni",
     face_chunk: int = 4096,
     occlusion: bool = True,
+    tri_normals: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -122,10 +123,16 @@ def trace_energy_histogram(
     dist0 = jnp.zeros(n_rays, dtype=jnp.float32)
     alive0 = jnp.ones(n_rays, dtype=bool)
 
-    tri_normals = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
-    tri_normals = tri_normals / jnp.maximum(
-        jnp.linalg.norm(tri_normals, axis=-1, keepdims=True), 1e-12
-    )
+    if tri_normals is None:
+        # NOTE: computing normals inside a LARGER fused program miscompiles on
+        # the axon TPU backend (the norm evaluates ~0 and normals blow up to
+        # ~1e13 — observed when this code is inlined into a shard_map body).
+        # Standalone-jitted tracing is fine; composed callers (parallel.
+        # shard_trace_rirs) must precompute normals and pass them in.
+        tri_normals = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        tri_normals = tri_normals / jnp.maximum(
+            jnp.linalg.norm(tri_normals, axis=-1, keepdims=True), 1e-12
+        )
 
     hist0 = jnp.zeros((c_out, n_bands, n_bins), dtype=jnp.float32)
     keys = jax.random.split(key, max_depth)
@@ -374,6 +381,7 @@ def trace_rirs(
     encoding: str = "omni",
     face_chunk: int = 4096,
     occlusion: bool = True,
+    tri_normals: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
 
@@ -396,6 +404,7 @@ def trace_rirs(
         encoding=encoding,
         face_chunk=face_chunk,
         occlusion=occlusion,
+        tri_normals=tri_normals,
     )
     band_freqs = jnp.asarray(
         np.geomspace(125.0, 8000.0, face_absorption.shape[1])
@@ -431,6 +440,7 @@ def trace_energy_histogram_multi(
     encoding: str = "omni",
     face_chunk: int = 4096,
     occlusion: bool = True,
+    tri_normals: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
 
@@ -454,10 +464,16 @@ def trace_energy_histogram_multi(
     dist0 = jnp.zeros(total_rays, dtype=jnp.float32)
     alive0 = jnp.ones(total_rays, dtype=bool)
 
-    tri_normals = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
-    tri_normals = tri_normals / jnp.maximum(
-        jnp.linalg.norm(tri_normals, axis=-1, keepdims=True), 1e-12
-    )
+    if tri_normals is None:
+        # NOTE: computing normals inside a LARGER fused program miscompiles on
+        # the axon TPU backend (the norm evaluates ~0 and normals blow up to
+        # ~1e13 — observed when this code is inlined into a shard_map body).
+        # Standalone-jitted tracing is fine; composed callers (parallel.
+        # shard_trace_rirs) must precompute normals and pass them in.
+        tri_normals = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        tri_normals = tri_normals / jnp.maximum(
+            jnp.linalg.norm(tri_normals, axis=-1, keepdims=True), 1e-12
+        )
 
     hist0 = jnp.zeros((n_sources, c_out, n_bands, n_bins), dtype=jnp.float32)
     keys = jax.random.split(key, max_depth)
@@ -570,6 +586,7 @@ def trace_rirs_multi(
     encoding: str = "omni",
     face_chunk: int = 4096,
     occlusion: bool = True,
+    tri_normals: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
@@ -596,6 +613,7 @@ def trace_rirs_multi(
         encoding=encoding,
         face_chunk=face_chunk,
         occlusion=occlusion,
+        tri_normals=tri_normals,
     )  # (E, C_out, B, bins)
 
     band_freqs = jnp.asarray(
