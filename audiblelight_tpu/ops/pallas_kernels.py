@@ -119,6 +119,76 @@ def _first_hit_kernel(
     idx_out_ref[:] = best_idx
 
 
+SMALL_F_MAX = 512  # face count below which the SMEM-scalar kernel runs
+SMALL_LANES = 1024  # ray lanes per tile row in the small-mesh kernel
+SMALL_ROWS = 8  # sublane rows per grid step (full (8, lanes) tiles)
+
+
+def _first_hit_small_kernel(n_faces, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                            face_ref, t_out_ref, idx_out_ref):
+    """Small-mesh first hit: faces live in SMEM as scalars, rays pack densely.
+
+    The general kernel stores each ray component as a (BLOCK, 1) column, which
+    VMEM tiles pad to 128 lanes — a 128x memory blowup and tiny grid steps. For
+    meshes with few faces (every shoebox room, most synthetic scenes) it is far
+    cheaper to loop over faces as SMEM scalars and keep rays packed as full
+    (8, lanes) tiles: one grid step covers 8*lanes rays with dense DMA.
+    """
+    shape = (SMALL_ROWS, SMALL_LANES)
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    def face(f, carry):
+        best_t, best_idx = carry
+        ax = face_ref[0, f]
+        ay = face_ref[1, f]
+        az = face_ref[2, f]
+        e1x = face_ref[3, f]
+        e1y = face_ref[4, f]
+        e1z = face_ref[5, f]
+        e2x = face_ref[6, f]
+        e2y = face_ref[7, f]
+        e2z = face_ref[8, f]
+
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        valid_a = jnp.abs(a) > _EPS
+        fInv = 1.0 / jnp.where(valid_a, a, 1.0)
+
+        sx = ox - ax
+        sy = oy - ay
+        sz = oz - az
+        u = fInv * (sx * hx + sy * hy + sz * hz)
+
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = fInv * (dx * qx + dy * qy + dz * qz)
+        t = fInv * (e2x * qx + e2y * qy + e2z * qz)
+
+        hit = (
+            valid_a
+            & (u >= -_EPS)
+            & (u <= 1.0 + _EPS)
+            & (v >= -_EPS)
+            & (u + v <= 1.0 + _EPS)
+            & (t > _EPS)
+        )
+        t_hit = jnp.where(hit, t, _BIG)
+        better = t_hit < best_t
+        return (
+            jnp.where(better, t_hit, best_t),
+            jnp.where(better, jnp.full(shape, 1, jnp.int32) * f, best_idx),
+        )
+
+    init = (jnp.full(shape, _BIG, jnp.float32), jnp.full(shape, -1, jnp.int32))
+    best_t, best_idx = jax.lax.fori_loop(0, n_faces, face, init)
+    t_out_ref[:] = best_t
+    idx_out_ref[:] = best_idx
+
+
 def _pad_to(x: jnp.ndarray, n: int, value) -> jnp.ndarray:
     if x.shape[0] == n:
         return x
@@ -140,6 +210,8 @@ def ray_first_hit_pallas(
     """
     r = origins.shape[0]
     f = tris.shape[0]
+    if f <= SMALL_F_MAX:
+        return _ray_first_hit_small(origins, dirs, tris, interpret)
     r_pad = max(RAY_BLOCK, ((r + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK)
     f_pad = max(LANES, ((f + LANES - 1) // LANES) * LANES)
 
@@ -181,6 +253,55 @@ def ray_first_hit_pallas(
         comp(tri_e2, 0), comp(tri_e2, 1), comp(tri_e2, 2),
     )
 
+    t = t.reshape(-1)[:r]
+    idx = idx.reshape(-1)[:r]
+    t = jnp.where(t >= _BIG, jnp.inf, t)
+    idx = jnp.where(jnp.isinf(t), -1, idx)
+    return t, idx
+
+
+def _ray_first_hit_small(origins, dirs, tris, interpret: bool = False):
+    """Small-mesh dispatch of ray_first_hit_pallas (see _first_hit_small_kernel)."""
+    r = origins.shape[0]
+    f = tris.shape[0]
+    step = SMALL_ROWS * SMALL_LANES
+    r_pad = max(step, ((r + step - 1) // step) * step)
+
+    o = jnp.pad(origins.astype(jnp.float32), ((0, r_pad - r), (0, 0)))
+    d = jnp.pad(dirs.astype(jnp.float32), ((0, r_pad - r), (0, 0)), constant_values=1.0)
+    rows = r_pad // SMALL_LANES
+
+    # faces: 9 component rows x F columns, SMEM-resident scalars
+    face_tab = jnp.stack(
+        [
+            tris[:, 0, 0], tris[:, 0, 1], tris[:, 0, 2],
+            tris[:, 1, 0] - tris[:, 0, 0], tris[:, 1, 1] - tris[:, 0, 1], tris[:, 1, 2] - tris[:, 0, 2],
+            tris[:, 2, 0] - tris[:, 0, 0], tris[:, 2, 1] - tris[:, 0, 1], tris[:, 2, 2] - tris[:, 0, 2],
+        ]
+    )  # (9, F)
+
+    comp = lambda x, i: x[:, i].reshape(rows, SMALL_LANES)
+    grid = (rows // SMALL_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (SMALL_ROWS, SMALL_LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    face_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    t, idx = pl.pallas_call(
+        partial(_first_hit_small_kernel, f),
+        grid=grid,
+        in_specs=[ray_spec] * 6 + [face_spec],
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, SMALL_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, SMALL_LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        comp(o, 0), comp(o, 1), comp(o, 2),
+        comp(d, 0), comp(d, 1), comp(d, 2),
+        face_tab,
+    )
     t = t.reshape(-1)[:r]
     idx = idx.reshape(-1)[:r]
     t = jnp.where(t >= _BIG, jnp.inf, t)
@@ -305,7 +426,8 @@ def segments_occluded_pallas(
     return occ.reshape(-1)[:r].astype(bool)
 
 
-HIST_RAY_BLOCK = 1024  # rays per grid step for the histogram kernel
+HIST_RAY_BLOCK = 1024  # rays per inner chunk of the histogram kernel
+HIST_GROUP_BLOCK = 8  # histogram groups folded per grid step
 
 
 def _bin_histogram_kernel(bins_ref, dep_ref, out_ref):
@@ -319,27 +441,32 @@ def _bin_histogram_kernel(bins_ref, dep_ref, out_ref):
     keeps the fp32 deposits exact to ~3e-7 (the TPU matmul default rounds the
     deposits to bf16, a 1.6e-3 relative error).
     """
+    n_groups = bins_ref.shape[0]
     n_bins_pad = out_ref.shape[1]
     r_pad = bins_ref.shape[2]
     n_chunks = r_pad // HIST_RAY_BLOCK
 
-    def chunk(i, acc):
-        sl = pl.ds(i * HIST_RAY_BLOCK, HIST_RAY_BLOCK)
-        # one_hot[bin, ray] for this chunk of rays
-        oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (n_bins_pad, HIST_RAY_BLOCK), 0)
-            == bins_ref[0, :, sl]
-        ).astype(jnp.float32)
-        return acc + jax.lax.dot_general(
-            oh,
-            dep_ref[0, :, sl],
-            (((1,), (1,)), ((), ())),  # contract over the ray axis
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    def group(g, _):
+        def chunk(i, acc):
+            sl = pl.ds(i * HIST_RAY_BLOCK, HIST_RAY_BLOCK)
+            # one_hot[bin, ray] for this chunk of rays
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (n_bins_pad, HIST_RAY_BLOCK), 0)
+                == bins_ref[g, :, sl]
+            ).astype(jnp.float32)
+            return acc + jax.lax.dot_general(
+                oh,
+                dep_ref[g, :, sl],
+                (((1,), (1,)), ((), ())),  # contract over the ray axis
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-    init = jnp.zeros((n_bins_pad, out_ref.shape[2]), dtype=jnp.float32)
-    out_ref[0] = jax.lax.fori_loop(0, n_chunks, chunk, init)
+        init = jnp.zeros((n_bins_pad, out_ref.shape[2]), dtype=jnp.float32)
+        out_ref[g] = jax.lax.fori_loop(0, n_chunks, chunk, init)
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, group, 0)
 
 
 @partial(jax.jit, static_argnames=("n_bins", "interpret"))
@@ -358,29 +485,34 @@ def bin_histogram_pallas(
     g, r, k = dep.shape
     r_pad = max(HIST_RAY_BLOCK, ((r + HIST_RAY_BLOCK - 1) // HIST_RAY_BLOCK) * HIST_RAY_BLOCK)
     bins_pad = max(LANES, ((n_bins + LANES - 1) // LANES) * LANES)
+    gb = HIST_GROUP_BLOCK
+    g_pad = max(gb, ((g + gb - 1) // gb) * gb)
 
     # Padded rays get bin -1 -> match no lane of the iota -> zero contribution.
-    # Rays sit on the minor (contiguous) axis so every DMA row is dense.
-    bins_p = jnp.pad(bins.astype(jnp.int32), ((0, 0), (0, r_pad - r)), constant_values=-1)
-    dep_p = jnp.pad(dep.astype(jnp.float32), ((0, 0), (0, r_pad - r), (0, 0)))
-    dep_t = jnp.moveaxis(dep_p, 1, 2)  # (G, K, r_pad)
+    # Rays sit on the minor (contiguous) axis so every DMA row is dense; groups
+    # batch HIST_GROUP_BLOCK per grid step to amortise the per-step overhead.
+    bins_p = jnp.pad(
+        bins.astype(jnp.int32), ((0, g_pad - g), (0, r_pad - r)), constant_values=-1
+    )
+    dep_p = jnp.pad(dep.astype(jnp.float32), ((0, g_pad - g), (0, r_pad - r), (0, 0)))
+    dep_t = jnp.moveaxis(dep_p, 1, 2)  # (G_pad, K, r_pad)
 
-    grid = (g,)
+    grid = (g_pad // gb,)
     out = pl.pallas_call(
         _bin_histogram_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, r_pad), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, r_pad), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 1, r_pad), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, k, r_pad), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bins_pad, k), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM
+            (gb, bins_pad, k), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((g, bins_pad, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_pad, bins_pad, k), jnp.float32),
         interpret=interpret,
     )(bins_p[:, None, :], dep_t)
 
-    return out[:, :n_bins, :]
+    return out[:g, :n_bins, :]
 
 
 def bin_histogram(bins: jnp.ndarray, dep: jnp.ndarray, n_bins: int) -> jnp.ndarray:
