@@ -25,49 +25,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-RAY_BLOCK = 1024  # rays per grid step (8 f32 sublane rows — the TPU tile minimum)
-FACE_CHUNK = 128  # faces held in registers per inner iteration
+RAY_BLOCK = 1024  # legacy block size, kept as a convenient test-shape constant
 
 _EPS = 1e-9
 _BIG = 3.0e38
 
 
-def _first_hit_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # ray blocks (RAY_BLOCK, 1)
-    ax_ref, ay_ref, az_ref,  # triangle origin components (F_pad//LANES, LANES)
-    e1x_ref, e1y_ref, e1z_ref,
-    e2x_ref, e2y_ref, e2z_ref,
+BIG_LANES = 4096  # rays per grid step in the big-mesh kernel (lanes axis)
+FACE_GROUP = 8  # faces per sublane group
+
+
+def _first_hit_big_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # ray rows (1, BIG_LANES)
+    face_ref,  # (F_pad, 9) VMEM: [ax ay az e1x e1y e1z e2x e2y e2z] columns
     t_out_ref, idx_out_ref,
 ):
-    """One grid step: all faces against one block of rays.
+    """One grid step: all faces against BIG_LANES rays.
 
-    Ray components arrive as (RAY_BLOCK, 1) columns and face components as
-    (1, LANES) rows, so every operation is a natural 2D broadcast — no reshapes,
-    which Mosaic's layout inference cannot handle for (8,128)->(n,1) casts.
+    Faces ride the SUBLANE axis (8 per group, as (8, 1) columns sliced from the
+    (F_pad, 9) table) and rays ride the LANE axis as dense (1, BIG_LANES) rows,
+    so every tile is fully packed — the original formulation kept rays as
+    (BLOCK, 1) columns, which VMEM pads to 128 lanes (128x waste). Each sublane
+    s carries the running minimum over faces congruent to s mod 8; the final
+    cross-sublane reduce keeps the smallest face index on ties, matching the
+    XLA path exactly.
     """
-    n_face_rows = ax_ref.shape[0]  # F_pad // LANES
+    n_groups = face_ref.shape[0] // FACE_GROUP
+    shape = (FACE_GROUP, BIG_LANES)
 
-    ox = ox_ref[:]  # (BR, 1)
-    oy = oy_ref[:]
-    oz = oz_ref[:]
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # (1, L) rows
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
-    def face_row(i, carry):
-        best_t, best_idx = carry
-        # One row of LANES faces: (1, LANES)
-        ax = ax_ref[i, :].reshape(1, -1)
-        ay = ay_ref[i, :].reshape(1, -1)
-        az = az_ref[i, :].reshape(1, -1)
-        e1x = e1x_ref[i, :].reshape(1, -1)
-        e1y = e1y_ref[i, :].reshape(1, -1)
-        e1z = e1z_ref[i, :].reshape(1, -1)
-        e2x = e2x_ref[i, :].reshape(1, -1)
-        e2y = e2y_ref[i, :].reshape(1, -1)
-        e2z = e2z_ref[i, :].reshape(1, -1)
+    def group(fg, carry):
+        best_t, best_fg = carry
+        rows = pl.ds(fg * FACE_GROUP, FACE_GROUP)
+        ax = face_ref[rows, 0:1]  # (8, 1) columns
+        ay = face_ref[rows, 1:2]
+        az = face_ref[rows, 2:3]
+        e1x = face_ref[rows, 3:4]
+        e1y = face_ref[rows, 4:5]
+        e1z = face_ref[rows, 5:6]
+        e2x = face_ref[rows, 6:7]
+        e2y = face_ref[rows, 7:8]
+        e2z = face_ref[rows, 8:9]
 
-        # h = d x e2  -> (BR, LANES) per component
+        # h = d x e2 -> (8, L) per component
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
         hz = dx * e2y - dy * e2x
@@ -80,7 +82,6 @@ def _first_hit_kernel(
         sz = oz - az
         u = f * (sx * hx + sy * hy + sz * hz)
 
-        # q = s x e1
         qx = sy * e1z - sz * e1y
         qy = sz * e1x - sx * e1z
         qz = sx * e1y - sy * e1x
@@ -96,27 +97,24 @@ def _first_hit_kernel(
             & (t > _EPS)
         )
         t_hit = jnp.where(hit, t, _BIG)
-
-        # Row-local min + argmin over the LANES axis, kept as (BR, 1) columns
-        row_min = jnp.min(t_hit, axis=1, keepdims=True)  # (BR, 1)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 1)
-        row_arg = jnp.min(
-            jnp.where(t_hit == row_min, lane_ids, LANES), axis=1, keepdims=True
+        better = t_hit < best_t  # strict: earliest group wins ties per sublane
+        return (
+            jnp.where(better, t_hit, best_t),
+            jnp.where(better, jnp.full(shape, 1, jnp.int32) * fg, best_fg),
         )
-        face_id = i * LANES + row_arg
 
-        better = row_min < best_t
-        return jnp.where(better, row_min, best_t), jnp.where(better, face_id, best_idx)
+    init = (jnp.full(shape, _BIG, jnp.float32), jnp.full(shape, 0, jnp.int32))
+    best_t, best_fg = jax.lax.fori_loop(0, n_groups, group, init)
 
-    br = ox.shape[0]
-    init = (
-        jnp.full((br, 1), _BIG, dtype=jnp.float32),
-        jnp.full((br, 1), -1, dtype=jnp.int32),
+    # Reduce across the 8 sublanes: min t, smallest face index on ties
+    sub_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    face_id = best_fg * FACE_GROUP + sub_id
+    t_min = jnp.min(best_t, axis=0, keepdims=True)  # (1, L)
+    idx = jnp.min(
+        jnp.where(best_t == t_min, face_id, jnp.int32(2**30)), axis=0, keepdims=True
     )
-    best_t, best_idx = jax.lax.fori_loop(0, n_face_rows, face_row, init)
-
-    t_out_ref[:] = best_t
-    idx_out_ref[:] = best_idx
+    t_out_ref[:] = t_min
+    idx_out_ref[:] = jnp.where(t_min >= _BIG, -1, idx)
 
 
 SMALL_F_MAX = 512  # face count below which the SMEM-scalar kernel runs
@@ -212,45 +210,43 @@ def ray_first_hit_pallas(
     f = tris.shape[0]
     if f <= SMALL_F_MAX:
         return _ray_first_hit_small(origins, dirs, tris, interpret)
-    r_pad = max(RAY_BLOCK, ((r + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK)
-    f_pad = max(LANES, ((f + LANES - 1) // LANES) * LANES)
+
+    # Big-mesh path: faces on sublanes, rays on lanes (see _first_hit_big_kernel)
+    r_pad = max(BIG_LANES, ((r + BIG_LANES - 1) // BIG_LANES) * BIG_LANES)
+    f_pad = max(FACE_GROUP, ((f + FACE_GROUP - 1) // FACE_GROUP) * FACE_GROUP)
 
     o = jnp.pad(origins.astype(jnp.float32), ((0, r_pad - r), (0, 0)))
     d = jnp.pad(dirs.astype(jnp.float32), ((0, r_pad - r), (0, 0)), constant_values=1.0)
 
-    tri_a = tris[:, 0]
-    tri_e1 = tris[:, 1] - tris[:, 0]
-    tri_e2 = tris[:, 2] - tris[:, 0]
-    # Padded faces are degenerate (zero edges) -> never hit
-    comp = lambda x, i: _pad_to(x[:, i].astype(jnp.float32), f_pad, 0.0).reshape(-1, LANES)
+    face_tab = jnp.stack(
+        [
+            tris[:, 0, 0], tris[:, 0, 1], tris[:, 0, 2],
+            tris[:, 1, 0] - tris[:, 0, 0], tris[:, 1, 1] - tris[:, 0, 1], tris[:, 1, 2] - tris[:, 0, 2],
+            tris[:, 2, 0] - tris[:, 0, 0], tris[:, 2, 1] - tris[:, 0, 1], tris[:, 2, 2] - tris[:, 0, 2],
+        ],
+        axis=1,
+    )  # (F, 9); padded faces are degenerate (zero edges) -> never hit
+    face_tab = jnp.pad(face_tab, ((0, f_pad - f), (0, 0)))
 
-    ray_comp = lambda x, i: x[:, i].reshape(-1, 1)  # (r_pad, 1) columns
-
-    grid = (r_pad // RAY_BLOCK,)
-    # index_map returns BLOCK indices (units of block_shape), not element offsets
-    ray_spec = pl.BlockSpec(
-        (RAY_BLOCK, 1), lambda g: (g, 0), memory_space=pltpu.VMEM
-    )
-    tri_spec = pl.BlockSpec(
-        (f_pad // LANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
-    )
+    ray_comp = lambda x, i: x[:, i].reshape(1, -1)  # (1, r_pad) rows
+    grid = (r_pad // BIG_LANES,)
+    ray_spec = pl.BlockSpec((1, BIG_LANES), lambda g: (0, g), memory_space=pltpu.VMEM)
+    face_spec = pl.BlockSpec((f_pad, 9), lambda g: (0, 0), memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
-        _first_hit_kernel,
+        _first_hit_big_kernel,
         grid=grid,
-        in_specs=[ray_spec] * 6 + [tri_spec] * 9,
+        in_specs=[ray_spec] * 6 + [face_spec],
         out_specs=(ray_spec, ray_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         ),
         interpret=interpret,
     )(
         ray_comp(o, 0), ray_comp(o, 1), ray_comp(o, 2),
         ray_comp(d, 0), ray_comp(d, 1), ray_comp(d, 2),
-        comp(tri_a, 0), comp(tri_a, 1), comp(tri_a, 2),
-        comp(tri_e1, 0), comp(tri_e1, 1), comp(tri_e1, 2),
-        comp(tri_e2, 0), comp(tri_e2, 1), comp(tri_e2, 2),
+        face_tab,
     )
 
     t = t.reshape(-1)[:r]
@@ -310,35 +306,34 @@ def _ray_first_hit_small(origins, dirs, tris, interpret: bool = False):
 
 
 def _any_hit_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, len_ref,  # segment blocks (RAY_BLOCK, 1)
-    ax_ref, ay_ref, az_ref,
-    e1x_ref, e1y_ref, e1z_ref,
-    e2x_ref, e2y_ref, e2z_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, len_ref,  # segment rows (1, BIG_LANES)
+    face_ref,  # (F_pad, 9)
     occ_out_ref,
 ):
     """Segment-occlusion: does ANY face intersect the open segment?
 
-    Same tiling as _first_hit_kernel but the reduction is a boolean any() with
-    the segment-interior window (margin < t < length - margin), matching the
-    XLA path in geometry.queries.segments_occluded.
+    Same sublane-face x lane-ray tiling as _first_hit_big_kernel, with the
+    reduction replaced by a boolean any() over the segment-interior window
+    (margin < t < length - margin), matching geometry.queries.segments_occluded.
     """
-    n_face_rows = ax_ref.shape[0]
+    n_groups = face_ref.shape[0] // FACE_GROUP
     margin = 1e-4
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     seg_len = len_ref[:]
 
-    def face_row(i, blocked):
-        ax = ax_ref[i, :].reshape(1, -1)
-        ay = ay_ref[i, :].reshape(1, -1)
-        az = az_ref[i, :].reshape(1, -1)
-        e1x = e1x_ref[i, :].reshape(1, -1)
-        e1y = e1y_ref[i, :].reshape(1, -1)
-        e1z = e1z_ref[i, :].reshape(1, -1)
-        e2x = e2x_ref[i, :].reshape(1, -1)
-        e2y = e2y_ref[i, :].reshape(1, -1)
-        e2z = e2z_ref[i, :].reshape(1, -1)
+    def group(fg, blocked):
+        rows = pl.ds(fg * FACE_GROUP, FACE_GROUP)
+        ax = face_ref[rows, 0:1]
+        ay = face_ref[rows, 1:2]
+        az = face_ref[rows, 2:3]
+        e1x = face_ref[rows, 3:4]
+        e1y = face_ref[rows, 4:5]
+        e1z = face_ref[rows, 5:6]
+        e2x = face_ref[rows, 6:7]
+        e2y = face_ref[rows, 7:8]
+        e2z = face_ref[rows, 8:9]
 
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
@@ -367,12 +362,11 @@ def _any_hit_kernel(
             & (t > margin)
             & (t < seg_len - margin)
         )
-        row_any = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)  # (BR, 1)
+        row_any = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)  # (1, L)
         return jnp.maximum(blocked, row_any)
 
-    br = ox.shape[0]
-    init = jnp.zeros((br, 1), dtype=jnp.int32)
-    occ_out_ref[:] = jax.lax.fori_loop(0, n_face_rows, face_row, init)
+    init = jnp.zeros((1, BIG_LANES), dtype=jnp.int32)
+    occ_out_ref[:] = jax.lax.fori_loop(0, n_groups, group, init)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -385,8 +379,8 @@ def segments_occluded_pallas(
     """
     r = starts.shape[0]
     f = tris.shape[0]
-    r_pad = max(RAY_BLOCK, ((r + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK)
-    f_pad = max(LANES, ((f + LANES - 1) // LANES) * LANES)
+    r_pad = max(BIG_LANES, ((r + BIG_LANES - 1) // BIG_LANES) * BIG_LANES)
+    f_pad = max(FACE_GROUP, ((f + FACE_GROUP - 1) // FACE_GROUP) * FACE_GROUP)
 
     seg = ends - starts
     length = jnp.linalg.norm(seg.astype(jnp.float32), axis=-1)
@@ -395,33 +389,34 @@ def segments_occluded_pallas(
     o = jnp.pad(starts.astype(jnp.float32), ((0, r_pad - r), (0, 0)))
     d = jnp.pad(dirs.astype(jnp.float32), ((0, r_pad - r), (0, 0)), constant_values=1.0)
     # Padded segments have length 0 -> the (margin, length - margin) window is empty
-    ln = jnp.pad(length, (0, r_pad - r)).reshape(-1, 1)
+    ln = jnp.pad(length, (0, r_pad - r)).reshape(1, -1)
 
-    tri_a = tris[:, 0]
-    tri_e1 = tris[:, 1] - tris[:, 0]
-    tri_e2 = tris[:, 2] - tris[:, 0]
-    comp = lambda x, i: _pad_to(x[:, i].astype(jnp.float32), f_pad, 0.0).reshape(-1, LANES)
-    ray_comp = lambda x, i: x[:, i].reshape(-1, 1)
-
-    grid = (r_pad // RAY_BLOCK,)
-    ray_spec = pl.BlockSpec((RAY_BLOCK, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec(
-        (f_pad // LANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+    face_tab = jnp.stack(
+        [
+            tris[:, 0, 0], tris[:, 0, 1], tris[:, 0, 2],
+            tris[:, 1, 0] - tris[:, 0, 0], tris[:, 1, 1] - tris[:, 0, 1], tris[:, 1, 2] - tris[:, 0, 2],
+            tris[:, 2, 0] - tris[:, 0, 0], tris[:, 2, 1] - tris[:, 0, 1], tris[:, 2, 2] - tris[:, 0, 2],
+        ],
+        axis=1,
     )
+    face_tab = jnp.pad(face_tab, ((0, f_pad - f), (0, 0)))
+
+    ray_comp = lambda x, i: x[:, i].reshape(1, -1)
+    grid = (r_pad // BIG_LANES,)
+    ray_spec = pl.BlockSpec((1, BIG_LANES), lambda g: (0, g), memory_space=pltpu.VMEM)
+    face_spec = pl.BlockSpec((f_pad, 9), lambda g: (0, 0), memory_space=pltpu.VMEM)
 
     occ = pl.pallas_call(
         _any_hit_kernel,
         grid=grid,
-        in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+        in_specs=[ray_spec] * 6 + [ray_spec, face_spec],
         out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         interpret=interpret,
     )(
         ray_comp(o, 0), ray_comp(o, 1), ray_comp(o, 2),
         ray_comp(d, 0), ray_comp(d, 1), ray_comp(d, 2), ln,
-        comp(tri_a, 0), comp(tri_a, 1), comp(tri_a, 2),
-        comp(tri_e1, 0), comp(tri_e1, 1), comp(tri_e1, 2),
-        comp(tri_e2, 0), comp(tri_e2, 1), comp(tri_e2, 2),
+        face_tab,
     )
     return occ.reshape(-1)[:r].astype(bool)
 

@@ -84,6 +84,27 @@ def test_first_hit_padding_shapes(rng, r, f):
     _check(origins, dirs, tris)
 
 
+def test_first_hit_big_mesh_path(rng):
+    """Meshes above SMALL_F_MAX route to the sublane-face kernel; results match
+    the XLA oracle including tie-breaking on the smallest face index."""
+    tris = _random_tris(np.random.default_rng(9), 700)  # > SMALL_F_MAX
+    origins = jnp.asarray(rng.uniform(-5, 5, (300, 3)).astype(np.float32))
+    d = rng.standard_normal((300, 3)).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    _check(origins, dirs, tris)
+
+
+def test_first_hit_big_mesh_duplicate_faces(rng):
+    """Exact-tie case: duplicated triangles must resolve to the SMALLEST index,
+    matching the XLA argmin semantics."""
+    base = _random_tris(np.random.default_rng(10), 300)
+    tris = jnp.concatenate([base, base], axis=0)  # 600 faces, every hit ties
+    origins = jnp.asarray(rng.uniform(-5, 5, (64, 3)).astype(np.float32))
+    d = rng.standard_normal((64, 3)).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    _check(origins, dirs, tris)
+
+
 def test_occlusion_matches_xla_random(rng):
     tris = _random_tris(np.random.default_rng(5), 200)
     starts = jnp.asarray(rng.uniform(-5, 5, (300, 3)).astype(np.float32))
