@@ -1,16 +1,22 @@
 """Pallas TPU kernels for the ray tracer's hot loop.
 
-The stochastic tracer's per-bounce cost is dominated by first-hit queries:
-(rays x faces) Moller-Trumbore tests with a min/argmin reduction. The XLA
-formulation (geometry.queries.ray_mesh_first_hit) materialises (R, F) temporaries
-per face chunk in HBM; this Pallas kernel keeps each (ray-block x face-chunk)
-tile resident in VMEM, streams face chunks through a fori loop, and carries the
-running (t, idx) minima in registers/VMEM scratch.
+Three kernels cover the tracer's per-bounce cost:
 
-Layout: structure-of-arrays. Rays and triangles are passed as separate x/y/z
-component vectors reshaped to (n, LANES) tiles — the natural TPU layout for this
-all-VPU workload (there are no matmuls to feed the MXU here; every op is an
-8x128-vector elementwise op).
+- first hit (rays x faces Moller-Trumbore + min/argmin): the XLA formulation
+  (geometry.queries.ray_mesh_first_hit) materialises (R, F) temporaries in HBM.
+  Here everything stays in VMEM. Two variants by mesh size: <= SMALL_F_MAX
+  faces keeps faces in SMEM as scalars with rays packed as dense (8, lanes)
+  tiles; larger meshes put faces on the SUBLANE axis ((8, 1) columns sliced
+  from an (F, 9) table) and rays on the LANE axis. Both avoid the (BLOCK, 1)
+  column layout, which VMEM tiles pad to 128 lanes (a 128x memory blowup).
+- any hit (segment occlusion): same tiling, boolean any() reduction with the
+  segment-interior window.
+- bin histogram (energy accumulation): the scatter-add serialises on duplicate
+  bins; instead a one-hot bin matrix is built in VMEM from an iota comparison
+  and folded with MXU matmuls at Precision.HIGHEST.
+
+Layout rule learned the hard way: long axes go on lanes; per-group constants
+come in as (8, 1) sublane columns or SMEM scalars.
 """
 
 from __future__ import annotations
