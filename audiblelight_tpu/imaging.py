@@ -197,27 +197,39 @@ def form_visibility(
 # ---------------------------------------------------------------------------
 
 
-def eigh_max(a: np.ndarray) -> float:
-    """Largest eigenvalue of B = (conj(A) . A)^H (conj(A) . A) via power iteration.
+@jax.jit
+def _eigh_max_device(a_re: jnp.ndarray, a_im: jnp.ndarray) -> jnp.ndarray:
+    """Power iteration for eigh_max as ONE compiled program.
 
-    This is the Lipschitz-constant ingredient for the APGD step size.
+    Takes real/imag float32 parts: the TPU runtime handles complex values fine
+    INSIDE a program but rejects complex program inputs (UNIMPLEMENTED), so all
+    device entry points here take split operands and combine with lax.complex.
     """
-    a_j = jnp.asarray(a)
+    a_j = jax.lax.complex(a_re, a_im)
 
     def matvec(v):
         c = (a_j * v) @ a_j.conj().T
         d = c @ a_j
         return jnp.sum(a_j.conj() * d, axis=0).real
 
-    n = a.shape[1]
-    v = jnp.ones(n) / np.sqrt(n)
+    n = a_j.shape[1]
+    v0 = jnp.ones(n) / jnp.sqrt(jnp.float32(n))
 
     def body(_, v):
         w = matvec(v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
-    v = jax.lax.fori_loop(0, 50, body, v)
-    return float(jnp.vdot(v, matvec(v)).real)
+    v = jax.lax.fori_loop(0, 50, body, v0)
+    return jnp.vdot(v, matvec(v)).real
+
+
+def eigh_max(a: np.ndarray) -> float:
+    """Largest eigenvalue of B = (conj(A) . A)^H (conj(A) . A) via power iteration.
+
+    This is the Lipschitz-constant ingredient for the APGD step size.
+    """
+    a64 = np.asarray(a, dtype=np.complex64)
+    return float(_eigh_max_device(jnp.asarray(a64.real), jnp.asarray(a64.imag)))
 
 
 def _l2_grad(x, sigma, a):
@@ -267,8 +279,21 @@ def apgd_solve(
 
 
 @partial(jax.jit, static_argnames=("n_iter",))
-def _apgd_band(sigmas: jnp.ndarray, a: jnp.ndarray, l_: jnp.ndarray, n_iter: int = 50):
-    """APGD over all frames of one band, warm-starting each frame from the last."""
+def _apgd_band(
+    sig_re: jnp.ndarray,
+    sig_im: jnp.ndarray,
+    a_re: jnp.ndarray,
+    a_im: jnp.ndarray,
+    l_: jnp.ndarray,
+    n_iter: int = 50,
+):
+    """APGD over all frames of one band, warm-starting each frame from the last.
+
+    Complex operands arrive as real/imag float32 pairs (complex program inputs
+    are rejected by the TPU runtime; internal complex math is fine).
+    """
+    sigmas = jax.lax.complex(sig_re, sig_im)
+    a = jax.lax.complex(a_re, a_im)
     n_px = a.shape[1]
 
     def norm_sigma(s):
@@ -359,7 +384,8 @@ def get_visibility_matrix(
     r = get_field(sh_order)
     mic_xyz = utils.polar_to_cartesian(np.asarray(micarray_coords)).T  # (3, C)
     a = steering_operator(mic_xyz, r, fmin=fmin, fmax=fmax, n_bands=nbands)
-    a_j = jnp.asarray(a, dtype=jnp.complex64)
+    a64 = np.asarray(a, dtype=np.complex64)
+    a_re, a_im = jnp.asarray(a64.real), jnp.asarray(a64.imag)
     l_ = jnp.asarray(2.0 * eigh_max(a), dtype=jnp.float32)
 
     # Host: band visibilities (cheap block FFTs), stacked to (bands, frames, C, C)
@@ -373,9 +399,10 @@ def get_visibility_matrix(
     min_frames = min(s.shape[0] for s in sigmas)
     sigmas = np.stack([s[:min_frames] for s in sigmas])  # (B, F, C, C)
 
-    # Device: all bands in one vmapped program
-    xs = jax.vmap(lambda sg: _apgd_band(sg, a_j, l_, n_iter=n_iter))(
-        jnp.asarray(sigmas, dtype=jnp.complex64)
+    # Device: all bands in one vmapped program (complex shipped as re/im pairs)
+    sig64 = np.asarray(sigmas, dtype=np.complex64)
+    xs = jax.vmap(lambda sr_, si_: _apgd_band(sr_, si_, a_re, a_im, l_, n_iter=n_iter))(
+        jnp.asarray(sig64.real), jnp.asarray(sig64.imag)
     )  # (bands, frames, n_px)
 
     return np.asarray(jnp.transpose(xs, (2, 0, 1)))  # (tesselation, bands, frames)
