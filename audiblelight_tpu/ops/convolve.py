@@ -159,6 +159,26 @@ def time_variant_convolve_spec(
     return out[:n_frames]
 
 
+@partial(jax.jit, static_argnames=("block_frames",))
+def tv_convolve_spec_from_parts(
+    sa_re: jnp.ndarray,
+    sa_im: jnp.ndarray,
+    si_re: jnp.ndarray,
+    si_im: jnp.ndarray,
+    w_ir: jnp.ndarray,
+    block_frames: int = 0,
+) -> jnp.ndarray:
+    """time_variant_convolve_spec for HOST-provided complex spectrograms.
+
+    The TPU runtime rejects host-transferred complex program inputs
+    (UNIMPLEMENTED); callers holding numpy complex STFTs ship real/imag float32
+    pairs, combined here with lax.complex inside the program.
+    """
+    return time_variant_convolve_spec(
+        jax.lax.complex(sa_re, sa_im), jax.lax.complex(si_re, si_im), w_ir, block_frames
+    )
+
+
 def tv_convolve(
     audio: jnp.ndarray,
     irs: jnp.ndarray,

@@ -77,6 +77,20 @@ def stft(
 
 
 @partial(jax.jit, static_argnames=("fft_size", "win_size", "hop_size"))
+@partial(jax.jit, static_argnames=("fft_size", "win_size", "hop_size"))
+def istft_overlap_add_from_parts(
+    s_re: jnp.ndarray,
+    s_im: jnp.ndarray,
+    fft_size: int = config.FFT_SIZE,
+    win_size: int = config.WIN_SIZE,
+    hop_size: int = config.HOP_SIZE,
+) -> jnp.ndarray:
+    """istft_overlap_add for HOST-provided complex spectrograms, shipped as
+    real/imag float32 pairs (complex program inputs are rejected by the TPU
+    runtime)."""
+    return istft_overlap_add(jax.lax.complex(s_re, s_im), fft_size, win_size, hop_size)
+
+
 def istft_overlap_add(
     spatial_stft: jnp.ndarray,
     fft_size: int = config.FFT_SIZE,

@@ -117,8 +117,10 @@ def stft(
     stft_dims_first: Optional[bool] = True,
 ) -> np.ndarray:
     """sin^2-window STFT (see ops.stft.stft); returns (frames, freq, ...)."""
-    spec = _stft.stft(jnp.asarray(y), int(fft_size), int(win_size), int(hop_size))
-    spec = np.asarray(spec)
+    spec_dev = _stft.stft(jnp.asarray(y), int(fft_size), int(win_size), int(hop_size))
+    # Complex arrays cannot cross the TPU host boundary (UNIMPLEMENTED in
+    # either direction on the remote backend): pull real/imag separately.
+    spec = np.asarray(spec_dev.real) + 1j * np.asarray(spec_dev.imag)
     if not stft_dims_first:
         spec = np.moveaxis(np.moveaxis(spec, 0, -1), 0, -2)
     return spec
@@ -148,10 +150,17 @@ def perform_time_variant_convolution(
     `ir_slice_min` / `ir_relevant_ratio_max` arguments are accepted for API
     compatibility but unused (the batched kernel needs no such pruning).
     """
-    out = _conv.time_variant_convolve_spec(
-        jnp.asarray(s_audio), jnp.asarray(s_ir), jnp.asarray(w_ir)
+    # Host complex arrays are shipped as real/imag pairs: the TPU runtime
+    # rejects host-transferred complex program inputs (see imaging.py note).
+    sa = np.asarray(s_audio, dtype=np.complex64)
+    si = np.asarray(s_ir, dtype=np.complex64)
+    out = _conv.tv_convolve_spec_from_parts(
+        jnp.asarray(sa.real), jnp.asarray(sa.imag),
+        jnp.asarray(si.real), jnp.asarray(si.imag),
+        jnp.asarray(np.asarray(w_ir, dtype=np.float32)),
     )
-    return np.asarray(out)
+    # complex D2H is also rejected: pull real/imag separately
+    return np.asarray(out.real) + 1j * np.asarray(out.imag)
 
 
 def istft_overlap_synthesis(
@@ -161,9 +170,12 @@ def istft_overlap_synthesis(
     hop_size: custom_types.Numeric = config.HOP_SIZE,
 ) -> np.ndarray:
     """Overlap-add iSTFT (see ops.stft.istft_overlap_add)."""
+    # Ship host complex input as real/imag parts (see the note in stft above)
+    s = np.asarray(spatial_stft, dtype=np.complex64)
     return np.asarray(
-        _stft.istft_overlap_add(
-            jnp.asarray(spatial_stft), int(fft_size), int(win_size), int(hop_size)
+        _stft.istft_overlap_add_from_parts(
+            jnp.asarray(s.real), jnp.asarray(s.imag),
+            int(fft_size), int(win_size), int(hop_size)
         )
     )
 
