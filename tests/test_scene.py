@@ -355,3 +355,49 @@ def test_scene_video_generation(scene, tmp_path):
 
     with pytest.raises(ValueError):
         generate_scene_video_from_events(scene, tmp_path / "vid")
+
+
+def test_scene_from_json_file_roundtrip(scene, tmp_path):
+    scene.add_microphone(microphone_type="ambeovr", position=[3, 2, 1.5])
+    scene.add_event(event_type="static", scene_start=1.0, event_start=0.0,
+                    duration=2.0, snr=5.0)
+    scene.add_ambience(noise="pink")
+    out = tmp_path / "meta.json"
+    import json
+
+    with open(out, "w") as f:
+        json.dump(scene.to_dict(), f)
+    rebuilt = Scene.from_json(out)
+    assert rebuilt == scene
+    assert len(rebuilt.get_events()) == 1
+    assert len(rebuilt.get_ambiences()) == 1
+
+
+def test_scene_ambience_accessors(scene):
+    scene.add_microphone(microphone_type="ambeovr", position=[3, 2, 1.5])
+    scene.add_ambience(noise="pink", alias="amb0")
+    scene.add_ambience(noise="white", alias="amb1")
+    assert len(scene.get_ambiences()) == 2
+    assert scene.get_ambience("amb0").beta == 1
+    scene.clear_ambience()
+    assert scene.get_ambiences() == []
+    with pytest.raises(KeyError):
+        scene.get_ambience("amb0")
+
+
+def test_scene_add_microphone_and_emitter(scene):
+    # Emitter 1 m in front of the sampled mic position (polar offset)
+    scene.add_microphone_and_emitter(position=[0.0, 0.0, 1.0],
+                                     microphone_type="monocapsule")
+    mic = scene.get_microphones()[0]
+    em = scene.state.get_emitter("src000")
+    offset = em.coordinates_absolute - np.asarray(mic.coordinates_center)
+    np.testing.assert_allclose(offset, [1.0, 0.0, 0.0], atol=1e-9)
+
+
+def test_scene_generate_requires_existing_dir(scene, tmp_path):
+    scene.add_microphone(microphone_type="monocapsule", position=[3, 2, 1.5])
+    scene.add_event(event_type="static", scene_start=1.0, event_start=0.0,
+                    duration=2.0, snr=5.0)
+    with pytest.raises(FileNotFoundError):
+        scene.generate(output_dir=tmp_path / "missing" / "nested")
