@@ -67,7 +67,17 @@ def sample_layout(rng):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: keeps driver/bench warmup to seconds when
+    # the programs were already compiled in any earlier process.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from audiblelight_tpu import config
