@@ -516,6 +516,155 @@ def bin_histogram_pallas(
     return out[:g, :n_bins, :]
 
 
+def _deposit_histogram_kernel(
+    n_bins_pad,
+    bin_dt,
+    c_sound,
+    hit_ref,  # (1, 3, R_pad) block: hit x/y/z rows for one source
+    nrm_ref,  # (1, 3, R_pad)
+    erefl_ref,  # (1, B, R_pad)
+    dist_ref,  # (1, 1, R_pad)
+    occ_ref,  # (1, 1, R_pad) int32 (1 = blocked); all-zero when occlusion off
+    lis_ref,  # (C, 3) SMEM listener positions
+    out_ref,  # (1, n_bins_pad, B) block for group (c, e)
+):
+    """Fused diffuse-rain deposit + bin histogram for one (capsule, source).
+
+    Computes the per-ray deposit (cos(theta) / (4 pi^2 d^2) geometry, visibility,
+    arrival binning) in VMEM and folds it straight into the histogram with the
+    one-hot MXU matmul — none of the (C, rays) intermediates the XLA
+    formulation materialises in HBM per bounce.
+    """
+    ci = pl.program_id(0)
+    r_pad = hit_ref.shape[2]
+    n_chunks = r_pad // HIST_RAY_BLOCK
+    n_bands = erefl_ref.shape[1]
+
+    lx = lis_ref[ci, 0]
+    ly = lis_ref[ci, 1]
+    lz = lis_ref[ci, 2]
+
+    def chunk(i, acc):
+        sl = pl.ds(i * HIST_RAY_BLOCK, HIST_RAY_BLOCK)
+        hx = hit_ref[0, 0:1, sl]  # (1, chunk)
+        hy = hit_ref[0, 1:2, sl]
+        hz = hit_ref[0, 2:3, sl]
+        nx = nrm_ref[0, 0:1, sl]
+        ny = nrm_ref[0, 1:2, sl]
+        nz = nrm_ref[0, 2:3, sl]
+
+        vx = lx - hx
+        vy = ly - hy
+        vz = lz - hz
+        d2 = vx * vx + vy * vy + vz * vz
+        d = jnp.sqrt(d2)
+        cos_th = jnp.maximum((vx * nx + vy * ny + vz * nz) / jnp.maximum(d, 1e-9), 0.0)
+
+        arrival = (dist_ref[0, 0:1, sl] + d) / c_sound
+        bins = (arrival * (1.0 / bin_dt)).astype(jnp.int32)
+        in_range = arrival < (n_bins_pad * bin_dt)  # padded bins stay addressable
+        visible = (occ_ref[0, 0:1, sl] == 0) & (cos_th > 0.0) & in_range
+
+        geom = jnp.where(
+            visible, cos_th / (4.0 * jnp.pi**2 * jnp.maximum(d, 1e-2) ** 2), 0.0
+        )  # (1, chunk)
+        dep = erefl_ref[0, :, sl] * geom  # (B, chunk)
+
+        bins = jnp.clip(bins, 0, n_bins_pad - 1)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_bins_pad, HIST_RAY_BLOCK), 0) == bins
+        ).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            oh, dep, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    init = jnp.zeros((n_bins_pad, n_bands), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+
+@partial(jax.jit, static_argnames=("n_sources", "n_bins", "bin_dt", "c_sound", "interpret"))
+def deposit_histogram_pallas(
+    hit: jnp.ndarray,  # (TR, 3) hit positions (TR = n_sources * rays, source-major)
+    normal: jnp.ndarray,  # (TR, 3) surface normals at the hits
+    e_refl: jnp.ndarray,  # (TR, B) post-reflection energies
+    dist: jnp.ndarray,  # (TR,) path distances so far
+    occ: jnp.ndarray,  # (C, TR) bool, True = listener blocked
+    listener_pos: jnp.ndarray,  # (C, 3)
+    n_sources: int,
+    n_bins: int,
+    bin_dt: float,
+    c_sound: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused diffuse-rain deposit + grouped histogram.
+
+    Returns (n_sources, C, B, n_bins) energy to add to the running histograms —
+    the Pallas replacement for the tracer's XLA deposit chain + bin_histogram.
+    """
+    tr = hit.shape[0]
+    cl = listener_pos.shape[0]
+    n_bands = e_refl.shape[1]
+    r = tr // n_sources
+    r_pad = max(HIST_RAY_BLOCK, ((r + HIST_RAY_BLOCK - 1) // HIST_RAY_BLOCK) * HIST_RAY_BLOCK)
+    bins_pad = max(LANES, ((n_bins + LANES - 1) // LANES) * LANES)
+
+    def per_source(x, fill=0.0):
+        # (TR, K) -> (E, K, r_pad): source-major rows, rays dense on lanes
+        x = x.reshape(n_sources, r, -1)
+        x = jnp.pad(x, ((0, 0), (0, r_pad - r), (0, 0)), constant_values=fill)
+        return jnp.moveaxis(x, 1, 2)
+
+    hit_t = per_source(hit)  # (E, 3, r_pad)
+    nrm_t = per_source(normal)
+    erefl_t = per_source(e_refl)
+    # Padded rays: occ=1 marks them invisible -> zero deposit
+    dist_t = per_source(dist[:, None])
+    occ_t = jnp.moveaxis(
+        jnp.pad(
+            occ.astype(jnp.int32).reshape(cl, n_sources, r),
+            ((0, 0), (0, 0), (0, r_pad - r)),
+            constant_values=1,
+        ),
+        0,
+        0,
+    )  # (C, E, r_pad)
+    occ_t = occ_t.reshape(cl * n_sources, 1, r_pad)
+
+    grid = (cl, n_sources)
+    src_spec = lambda k: pl.BlockSpec(
+        (1, k, r_pad), lambda ci, e: (e, 0, 0), memory_space=pltpu.VMEM
+    )
+    occ_spec = pl.BlockSpec(
+        (1, 1, r_pad), lambda ci, e: (ci * n_sources + e, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, bins_pad, n_bands),
+        lambda ci, e: (ci * n_sources + e, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    out = pl.pallas_call(
+        partial(_deposit_histogram_kernel, bins_pad, float(bin_dt), float(c_sound)),
+        grid=grid,
+        in_specs=[
+            src_spec(3), src_spec(3), src_spec(n_bands), src_spec(1),
+            occ_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((cl * n_sources, bins_pad, n_bands), jnp.float32),
+        interpret=interpret,
+    )(
+        hit_t, nrm_t, erefl_t, dist_t, occ_t,
+        listener_pos.astype(jnp.float32),
+    )
+    # (C*E, bins_pad, B) -> (E, C, B, n_bins)
+    out = out.reshape(cl, n_sources, bins_pad, n_bands)[:, :, :n_bins, :]
+    return jnp.transpose(out, (1, 0, 3, 2))
+
+
 def bin_histogram(bins: jnp.ndarray, dep: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     """Grouped histogram with automatic backend dispatch (see bin_histogram_pallas).
 

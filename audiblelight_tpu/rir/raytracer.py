@@ -33,8 +33,13 @@ import numpy as np
 
 from audiblelight_tpu import config
 from audiblelight_tpu.geometry.queries import ray_mesh_first_hit, segments_occluded
-from audiblelight_tpu.ops.pallas_kernels import bin_histogram
+from audiblelight_tpu.ops.pallas_kernels import bin_histogram, deposit_histogram_pallas, pallas_supported
 from audiblelight_tpu.rir.sh import binaural_encoding_gains, foa_encoding_gains
+
+
+def _use_fused_deposit() -> bool:
+    """True when the fused Pallas deposit+histogram kernel should run (TPU)."""
+    return bool(getattr(config, "USE_PALLAS_RAYCAST", True)) and pallas_supported()
 
 
 def _sphere_directions(key, n: int) -> jnp.ndarray:
@@ -71,7 +76,7 @@ def _cosine_hemisphere(key, normals: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "encoding", "face_chunk", "occlusion"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion"),
 )
 def trace_energy_histogram(
     key: jax.Array,
@@ -422,7 +427,7 @@ def trace_rirs(
 
 @partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "encoding", "face_chunk", "n_sources", "occlusion"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "n_sources", "occlusion"),
 )
 def trace_energy_histogram_multi(
     key: jax.Array,
@@ -494,12 +499,6 @@ def trace_energy_histogram_multi(
         alpha = face_absorption[face_safe]
         e_refl = energy * (1.0 - alpha)
 
-        # Diffuse rain toward every listener: (C, TR)
-        vec = listener_pos[:, None, :] - hit[None, :, :]
-        d_l = jnp.linalg.norm(vec, axis=-1)
-        dir_l = vec / jnp.maximum(d_l[..., None], 1e-9)
-        cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
-
         if occlusion:
             starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, total_rays, 3)).reshape(-1, 3)
             ends = jnp.repeat(listener_pos, total_rays, axis=0)
@@ -509,19 +508,39 @@ def trace_energy_histogram_multi(
             # (geometry.mesh.TriMesh.is_convex), so the query is skipped exactly.
             occ = jnp.zeros((cl, total_rays), dtype=bool)
 
-        visible = hit_ok[None] & (~occ) & (cos_th > 0)
-        deposit = (
-            e_refl[None]
-            * (cos_th / (4.0 * jnp.pi**2 * jnp.maximum(d_l, 1e-2) ** 2))[..., None]
-            * visible[..., None]
-        )  # (C, TR, B)
+        if encoding == "omni" and _use_fused_deposit():
+            # Fused path: per-ray geometry, visibility, binning and the
+            # histogram fold all happen inside one Pallas kernel — the (C, TR)
+            # deposit intermediates below never materialise in HBM.
+            hist = hist + deposit_histogram_pallas(
+                hit, normal, e_refl, new_dist,
+                occ | ~hit_ok[None], listener_pos,
+                n_sources=n_sources, n_bins=n_bins, bin_dt=bin_dt, c_sound=c,
+            )
+            # Reflection below still needs nothing from the deposit chain.
+            dir_l = None
+        else:
+            # Diffuse rain toward every listener: (C, TR)
+            vec = listener_pos[:, None, :] - hit[None, :, :]
+            d_l = jnp.linalg.norm(vec, axis=-1)
+            dir_l = vec / jnp.maximum(d_l[..., None], 1e-9)
+            cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
 
-        arrival = (new_dist[None] + d_l) / c
-        bin_idx = jnp.clip((arrival / bin_dt).astype(jnp.int32), 0, n_bins - 1)
-        in_range = arrival < (n_bins * bin_dt)
-        deposit = deposit * in_range[..., None]
+            visible = hit_ok[None] & (~occ) & (cos_th > 0)
+            deposit = (
+                e_refl[None]
+                * (cos_th / (4.0 * jnp.pi**2 * jnp.maximum(d_l, 1e-2) ** 2))[..., None]
+                * visible[..., None]
+            )  # (C, TR, B)
 
-        if encoding == "omni":
+            arrival = (new_dist[None] + d_l) / c
+            bin_idx = jnp.clip((arrival / bin_dt).astype(jnp.int32), 0, n_bins - 1)
+            in_range = arrival < (n_bins * bin_dt)
+            deposit = deposit * in_range[..., None]
+
+        if encoding == "omni" and dir_l is None:
+            pass  # histogram already accumulated by the fused kernel
+        elif encoding == "omni":
             # Group rays as (capsule, source): one histogram fold per group.
             add = bin_histogram(
                 bin_idx.reshape(cl * n_sources, n_rays),

@@ -188,6 +188,44 @@ def test_bin_histogram_negative_bins_ignored(rng):
     np.testing.assert_allclose(out_xla, out)
 
 
+def test_deposit_histogram_fused_oracle(rng):
+    """The fused deposit+histogram kernel (the tracer's TPU hot path) matches a
+    numpy replica of the XLA deposit chain: geometry, visibility, arrival
+    binning, and the per-(source, capsule) fold."""
+    from audiblelight_tpu.ops.pallas_kernels import deposit_histogram_pallas
+
+    E, R, C, B, BINS = 3, 200, 2, 4, 51
+    BIN_DT, CS = 0.002, 343.0
+    TR = E * R
+    hit = rng.uniform(0, 5, (TR, 3)).astype(np.float32)
+    normal = rng.standard_normal((TR, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    e_refl = (rng.random((TR, B)) * 1e-3).astype(np.float32)
+    dist = (rng.random(TR) * 20).astype(np.float32)
+    occ = rng.random((C, TR)) < 0.3
+    lis = rng.uniform(1, 4, (C, 3)).astype(np.float32)
+
+    oracle = np.zeros((E, C, B, BINS), np.float32)
+    for c in range(C):
+        for t in range(TR):
+            v = lis[c] - hit[t]
+            d = np.linalg.norm(v)
+            cos = max(float(v @ normal[t]) / max(d, 1e-9), 0.0)
+            if occ[c, t] or cos <= 0:
+                continue
+            arrival = (dist[t] + d) / CS
+            if arrival >= BINS * BIN_DT:
+                continue
+            b = min(int(arrival / BIN_DT), BINS - 1)
+            oracle[t // R, c, :, b] += e_refl[t] * cos / (4 * np.pi**2 * max(d, 1e-2) ** 2)
+
+    got = np.asarray(deposit_histogram_pallas(
+        jnp.asarray(hit), jnp.asarray(normal), jnp.asarray(e_refl), jnp.asarray(dist),
+        jnp.asarray(occ), jnp.asarray(lis),
+        n_sources=E, n_bins=BINS, bin_dt=BIN_DT, c_sound=CS, interpret=True))
+    np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-10)
+
+
 def test_pallas_supported_reports_cpu_false():
     # Tests force JAX_PLATFORMS=cpu; the dispatcher must fall back to XLA there.
     assert pallas_supported() is False
