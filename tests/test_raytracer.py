@@ -11,6 +11,7 @@ from audiblelight_tpu.rir.raytracer import (
     direct_path_ir,
     trace_energy_histogram,
     trace_rirs,
+    trace_rirs_multi,
 )
 
 SR = 44100
@@ -191,3 +192,24 @@ def test_total_energy_against_ism():
     # tracer vs fully-specular ISM), which shifts total reverberant energy by a
     # few dB even when decay rates agree; assert the same order of magnitude.
     assert 0.2 < e_rt / e_ism < 5.0
+
+
+def test_convex_room_occlusion_skip_is_exact():
+    """For a convex room, occlusion=False (the TriMesh.is_convex fast path that
+    mesh_backend enables automatically) must be bit-identical to occlusion=True:
+    interior segments are provably never blocked."""
+    room = box_mesh(extents=[6.0, 4.0, 3.0], center=[3.0, 2.0, 1.5])
+    assert room.is_convex
+    tris = jnp.asarray(room.triangles.astype(np.float32))
+    absorp = jnp.full((12, 2), 0.3, jnp.float32)
+    scatter = jnp.full((12,), 0.2, jnp.float32)
+    srcs = jnp.asarray([[1.5, 1.0, 1.2], [4.5, 3.0, 1.8]], jnp.float32)
+    lis = jnp.asarray([[3.0, 2.0, 1.5]], jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    kw = dict(n_samples=2400, sr=24000, n_rays=512, max_depth=12)
+    on = np.asarray(trace_rirs_multi(key, tris, absorp, scatter, srcs, lis,
+                                     occlusion=True, **kw))
+    off = np.asarray(trace_rirs_multi(key, tris, absorp, scatter, srcs, lis,
+                                      occlusion=False, **kw))
+    np.testing.assert_array_equal(on, off)
