@@ -1,0 +1,43 @@
+"""Driver-contract tests for __graft_entry__: the artifacts the harness records.
+
+Round-1 regression: dryrun_multichip assumed the ambient platform already had
+n devices and crashed (rc=1) when handed one real TPU. These tests pin both
+paths: in-process on a pre-provisioned mesh, and the self-provisioning
+subprocess fallback.
+"""
+
+import pathlib
+import sys
+
+import jax
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def test_dryrun_multichip_in_process():
+    """With enough devices already provisioned, the dry run executes in-process
+    and its sharding assertions (device span, non-replicated output) hold."""
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_self_provisions_subprocess():
+    """Asking for more devices than exist must trigger the subprocess fallback
+    that forces a virtual CPU mesh — the exact path the driver exercises when
+    the ambient platform is one real TPU chip."""
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) < 16
+    g.dryrun_multichip(16)  # raises if the child fails
+
+
+def test_entry_compiles_single_device():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4, 16384)

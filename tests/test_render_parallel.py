@@ -136,6 +136,11 @@ def test_shard_trace_rirs_over_mesh():
     arr = np.asarray(irs)
     assert arr.shape == (1, 8, 2400)
     assert np.isfinite(arr).all()
+    # Magnitude sanity: guards the precompute-normals invariant (inlining the
+    # cross+normalize into the shard body miscompiles on the axon backend and
+    # blows IRs up ~1e13 — see rir.raytracer / parallel.shard_trace_rirs).
+    assert np.abs(arr).max() < 10.0, np.abs(arr).max()
+    assert np.abs(arr).max() > 1e-4  # and the trace actually deposited energy
     # deterministic for a fixed key
     irs2 = shard_trace_rirs(mesh, key, tris, absorp, scatter, sources, lis,
                             n_samples=2400, sr=24000, n_rays=512, max_depth=12,
