@@ -83,6 +83,33 @@ def _scale_event(wet: jnp.ndarray, snr, ref_db, length, place_len) -> jnp.ndarra
     return wet * scale * (jnp.arange(s) < place_len)[None, :]
 
 
+def _render_static_event(audio, irs, snr, ref_db, length, place_len, out_len):
+    """One static event -> (C, out_len) wet spatial audio, level chain applied."""
+    irs_n = normalize_irs(irs)  # (C, L) energy-normalised per capsule
+    wet = fft_convolve(audio, irs_n, out_len=out_len)  # (C, out_len)
+    return _scale_event(wet, snr, ref_db, length, place_len)
+
+
+def _render_moving_event(audio, irs, w_ir, snr, ref_db, length, place_len, out_len):
+    """One moving event -> (C, out_len) via STFT-domain time-variant convolution."""
+    irs_n = normalize_irs(irs.transpose(1, 0, 2)).transpose(1, 0, 2)  # (C, J, L)
+    s_ir = stft(irs_n)  # (fr_i, F, C, J)
+    s_audio = stft(audio)  # (fr_a, F)
+    spec = time_variant_convolve_spec(s_audio, s_ir, w_ir)
+    wet = istft_overlap_add(spec).T  # (C, samples)
+    if wet.shape[-1] < out_len:
+        wet = jnp.pad(wet, ((0, 0), (0, out_len - wet.shape[-1])))
+    else:
+        wet = wet[:, :out_len]
+    # The reference pipeline's iSTFT stops at n_frames(length)*hop - win and
+    # zero-pads the remaining tail of the event; reproduce that truncation.
+    hop, win = config.HOP_SIZE, config.WIN_SIZE
+    n_fr = 2 * jnp.ceil(length / (2.0 * hop)).astype(jnp.int32) + 1
+    tv_len = jnp.minimum(length, n_fr * hop - win)
+    wet = wet * (jnp.arange(out_len) < tv_len)[None, :]
+    return _scale_event(wet, snr, ref_db, length, place_len)
+
+
 @partial(jax.jit, static_argnames=("n_scene_samples",))
 def render_scene_arrays(
     static_audio,
@@ -110,42 +137,19 @@ def render_scene_arrays(
     t = n_scene_samples
 
     # ---- static events: batched TI convolution --------------------------
-    def render_static(audio, irs, snr, length, place_len):
-        # (C, L): energy per capsule, normalised by the mean across capsules
-        irs_n = normalize_irs(irs)
-        wet = fft_convolve(audio, irs_n, out_len=s)  # (C, S)
-        return _scale_event(wet, snr, ref_db, length, place_len)
-
-    static_wet = jax.vmap(render_static)(
-        static_audio, static_irs, static_snr, static_len, static_place_len
-    )
+    static_wet = jax.vmap(
+        lambda a, i, sn, ln, pl: _render_static_event(a, i, sn, ref_db, ln, pl, s)
+    )(static_audio, static_irs, static_snr, static_len, static_place_len)
     static_wet = static_wet * static_mask[:, None, None]
 
     # ---- moving events: batched TV convolution --------------------------
-    def render_moving(audio, irs, w_ir, snr, length, place_len):
-        irs_n = normalize_irs(irs.transpose(1, 0, 2)).transpose(1, 0, 2)  # (C, J, L)
-        s_ir = stft(irs_n)  # (fr_i, F, C, J)
-        s_audio = stft(audio)  # (fr_a, F)
-        spec = time_variant_convolve_spec(s_audio, s_ir, w_ir)
-        wet = istft_overlap_add(spec).T  # (C, samples)
-        # pad/trim to S (shapes are static at trace time)
-        if wet.shape[-1] < s:
-            wet = jnp.pad(wet, ((0, 0), (0, s - wet.shape[-1])))
-        else:
-            wet = wet[:, :s]
-        # The reference pipeline's iSTFT stops at n_frames(length)*hop - win and
-        # zero-pads the remaining tail of the event; reproduce that truncation.
-        hop, win = config.HOP_SIZE, config.WIN_SIZE
-        n_fr = 2 * jnp.ceil(length / (2.0 * hop)).astype(jnp.int32) + 1
-        tv_len = jnp.minimum(length, n_fr * hop - win)
-        wet = wet * (jnp.arange(s) < tv_len)[None, :]
-        return _scale_event(wet, snr, ref_db, length, place_len)
-
     em = moving_audio.shape[0]
     if em > 0:
-        moving_wet = jax.vmap(render_moving)(
-            moving_audio, moving_irs, moving_w, moving_snr, moving_len, moving_place_len
-        )
+        moving_wet = jax.vmap(
+            lambda a, i, w, sn, ln, pl: _render_moving_event(
+                a, i, w, sn, ref_db, ln, pl, s
+            )
+        )(moving_audio, moving_irs, moving_w, moving_snr, moving_len, moving_place_len)
         moving_wet = moving_wet * moving_mask[:, None, None]
     else:
         moving_wet = jnp.zeros((0, c, s))
@@ -192,6 +196,95 @@ def render_scene_plan(plan: ScenePlan) -> jnp.ndarray:
         plan.ref_db,
         plan.n_scene_samples,
     )
+
+
+@jax.jit
+def render_event_stems_arrays(
+    static_audio,
+    static_irs,
+    static_mask,
+    static_snr,
+    static_len,
+    static_place_len,
+    moving_audio,
+    moving_irs,
+    moving_w,
+    moving_mask,
+    moving_snr,
+    moving_len,
+    moving_place_len,
+    ref_db,
+):
+    """Per-event wet spatial stems for one scene: (Es+Em, C, S) float32.
+
+    The stem factorisation keeps every FLOP (IR normalisation, TI/TV
+    convolution, level chain) on device but defers the trivial additive
+    placement into the 60 s timeline to `mix_stems_host` — the host touches the
+    samples anyway to write them, and stems are ~2x fewer bytes than the mixed
+    timeline (events cover only part of a scene). This mirrors the reference's
+    own split: per-event rendering (reference synthesize.py:507) feeding a
+    host-side numpy additive mix (reference synthesize.py:314-401).
+    """
+    s = static_audio.shape[-1]
+    static_wet = jax.vmap(
+        lambda a, i, sn, ln, pl: _render_static_event(a, i, sn, ref_db, ln, pl, s)
+    )(static_audio, static_irs, static_snr, static_len, static_place_len)
+    static_wet = static_wet * static_mask[:, None, None]
+    em = moving_audio.shape[0]
+    if em > 0:
+        moving_wet = jax.vmap(
+            lambda a, i, w, sn, ln, pl: _render_moving_event(
+                a, i, w, sn, ref_db, ln, pl, s
+            )
+        )(moving_audio, moving_irs, moving_w, moving_snr, moving_len, moving_place_len)
+        moving_wet = moving_wet * moving_mask[:, None, None]
+        return jnp.concatenate([static_wet, moving_wet], axis=0)
+    return static_wet
+
+
+@jax.jit
+def quantize_stems(stems: jnp.ndarray):
+    """Quantise stems to int16 with a per-stem scale: (..., E, C, S) ->
+    (int16 stems, float32 scales (..., E)) with `dequantised = q * scale`.
+
+    Per-stem scaling keeps quantisation error at ~1 LSB of each stem's own
+    peak, far below the 16-bit floor of the final mixed WAV.
+    """
+    peak = jnp.max(jnp.abs(stems), axis=(-2, -1))  # (..., E)
+    safe = jnp.maximum(peak, _TINY)
+    q = jnp.round(stems / safe[..., None, None] * 32767.0).astype(jnp.int16)
+    scales = jnp.where(peak > 0, safe / 32767.0, 0.0).astype(jnp.float32)
+    return q, scales
+
+
+def mix_stems_host(
+    stems_i16: np.ndarray,
+    scales: np.ndarray,
+    starts: np.ndarray,
+    n_scene_samples: int,
+    ambience: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Additive placement of quantised stems into a (C, T) float32 scene mix.
+
+    stems_i16: (E, C, S) int16; scales: (E,); starts: (E,) sample offsets.
+    Events running past the scene end are clipped, matching the device path's
+    padded-buffer placement in render_scene_arrays.
+    """
+    e, c, s = stems_i16.shape
+    t = int(n_scene_samples)
+    out = np.zeros((c, t), dtype=np.float32)
+    for i in range(e):
+        sc = float(scales[i])
+        if sc == 0.0:
+            continue
+        start = int(starts[i])
+        n = min(s, t - start)
+        if n <= 0:
+            continue
+        out[:, start : start + n] += stems_i16[i, :, :n].astype(np.float32) * sc
+    if ambience is not None:
+        out += ambience
+    return out
 
 
 def build_scene_plan(

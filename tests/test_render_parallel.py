@@ -156,3 +156,37 @@ def test_shard_trace_rirs_over_mesh():
     with pytest.raises(ValueError):
         shard_trace_rirs(mesh, key, tris, absorp, scatter, sources[:6], lis,
                          n_samples=2400)
+
+
+def test_stem_render_matches_full_device_mix(fg_dir):
+    """Stem factorisation (device stems -> host additive mix) must match the
+    all-on-device render to quantisation tolerance."""
+    from audiblelight_tpu.render import (
+        mix_stems_host,
+        quantize_stems,
+        render_event_stems_arrays,
+        render_scene_plan,
+    )
+
+    scene = make_scene(fg_dir, seed=3)
+    plan = build_scene_plan(scene)
+    full = np.asarray(render_scene_plan(plan))
+
+    stems = render_event_stems_arrays(
+        plan.static_audio, plan.static_irs, plan.static_mask, plan.static_snr,
+        plan.static_len, plan.static_place_len, plan.moving_audio, plan.moving_irs,
+        plan.moving_w, plan.moving_mask, plan.moving_snr, plan.moving_len,
+        plan.moving_place_len, plan.ref_db,
+    )
+    q, scales = quantize_stems(stems)
+    starts = np.concatenate([np.asarray(plan.static_start), np.asarray(plan.moving_start)])
+    mixed = mix_stems_host(
+        np.asarray(q), np.asarray(scales), starts, plan.n_scene_samples,
+        ambience=np.asarray(plan.ambience),
+    )
+    assert mixed.shape == full.shape
+    peak = np.abs(full).max()
+    np.testing.assert_allclose(mixed / peak, full / peak, atol=2e-4)
+    # per-stem int16 quantisation must be transparent at the stem level too
+    deq = np.asarray(q).astype(np.float32) * np.asarray(scales)[:, None, None]
+    np.testing.assert_allclose(deq, np.asarray(stems), atol=np.abs(np.asarray(stems)).max() / 32000)
