@@ -76,7 +76,7 @@ def _cosine_hemisphere(key, normals: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion", "transmission"),
 )
 def trace_energy_histogram(
     key: jax.Array,
@@ -94,6 +94,8 @@ def trace_energy_histogram(
     face_chunk: int = 4096,
     occlusion: bool = True,
     tri_normals: jnp.ndarray = None,
+    face_transmission: jnp.ndarray = None,
+    transmission: bool = False,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -105,6 +107,16 @@ def trace_energy_histogram(
         listener_pos: (C, 3) listener positions (C=1 for foa/binaural).
         n_bins/bin_dt: histogram length and bin width in seconds.
         encoding: "omni" | "foa" | "binaural".
+        face_transmission: (F, B) fraction of NON-ABSORBED energy transmitted
+            through each face (required when `transmission=True`).
+        transmission: enable through-surface transmission — each bounce splits
+            the non-absorbed energy into a reflected part (1-tau, deposits +
+            reflects as before) and a transmitted part (tau) that continues past
+            the face; a single Russian-roulette branch per ray keeps the
+            wavefront fixed-shape and the estimate unbiased. Matches the
+            reference rlr config's `transmission` field (reference
+            tests/test_worldstate_rlr.py:810-835). With `transmission=False`
+            results are bit-identical to builds without this feature.
 
     Returns:
         (C_out, B, n_bins) histogram. For "omni", entries are pressure^2 energies.
@@ -112,6 +124,8 @@ def trace_energy_histogram(
         remaining channels carry signed direction-weighted energy for covariance
         matching at synthesis time.
     """
+    if transmission and face_transmission is None:
+        raise ValueError("transmission=True requires face_transmission (F, B)")
     n_bands = face_absorption.shape[1]
     cl = listener_pos.shape[0]
     if encoding == "foa":
@@ -159,7 +173,13 @@ def trace_energy_histogram(
         )
 
         alpha = face_absorption[face_safe]  # (R, B)
-        e_refl = energy * (1.0 - alpha)
+        e_nonabs = energy * (1.0 - alpha)
+        if transmission:
+            tau = face_transmission[face_safe]  # (R, B)
+            e_refl = e_nonabs * (1.0 - tau)
+            e_trans = e_nonabs * tau
+        else:
+            e_refl = e_nonabs
 
         # --- Diffuse rain toward every listener -------------------------------
         # hit -> listener geometry: (C, R)
@@ -211,22 +231,41 @@ def trace_energy_histogram(
             )
 
         # --- Reflect ----------------------------------------------------------
-        k_spec, k_diff = jax.random.split(k_step)
+        if transmission:
+            k_spec, k_diff, k_trans = jax.random.split(k_step, 3)
+        else:
+            k_spec, k_diff = jax.random.split(k_step)
         spec_dir = dirs - 2.0 * jnp.sum(dirs * normal, axis=-1, keepdims=True) * normal
         diff_dir = _cosine_hemisphere(k_diff, normal)
         s = face_scattering[face_safe]
         go_diffuse = jax.random.uniform(k_spec, (n_rays,)) < s
         new_dirs = jnp.where(go_diffuse[:, None], diff_dir, spec_dir)
         new_origins = hit + 1e-4 * normal
+        new_energy = e_refl
+
+        if transmission:
+            # Russian roulette between reflect and transmit, branch probability
+            # proportional to band-mean branch energy; the chosen branch carries
+            # its energy divided by its probability (unbiased estimator).
+            w_r = jnp.mean(e_refl, axis=-1)
+            w_t = jnp.mean(e_trans, axis=-1)
+            p_t = w_t / jnp.maximum(w_r + w_t, 1e-30)
+            go_trans = jax.random.uniform(k_trans, (n_rays,)) < p_t
+            e_branch_t = e_trans / jnp.maximum(p_t, 1e-12)[:, None]
+            e_branch_r = e_refl / jnp.maximum(1.0 - p_t, 1e-12)[:, None]
+            new_energy = jnp.where(go_trans[:, None], e_branch_t, e_branch_r)
+            # Transmitted rays keep their direction and restart just past the face
+            new_dirs = jnp.where(go_trans[:, None], dirs, new_dirs)
+            new_origins = hit + jnp.where(go_trans[:, None], -1e-4, 1e-4) * normal
 
         # Kill rays that escaped, ran out of energy, or travelled past the window
         new_alive = (
             hit_ok
-            & (jnp.max(e_refl, axis=-1) * n_rays > 1e-6)
+            & (jnp.max(new_energy, axis=-1) * n_rays > 1e-6)
             & (new_dist < c * n_bins * bin_dt)
         )
 
-        return (new_origins, new_dirs, e_refl, new_dist, new_alive, hist), None
+        return (new_origins, new_dirs, new_energy, new_dist, new_alive, hist), None
 
     (_, _, _, _, _, hist), _ = jax.lax.scan(
         bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys
@@ -387,6 +426,8 @@ def trace_rirs(
     face_chunk: int = 4096,
     occlusion: bool = True,
     tri_normals: jnp.ndarray = None,
+    face_transmission: jnp.ndarray = None,
+    transmission: bool = False,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
 
@@ -410,6 +451,8 @@ def trace_rirs(
         face_chunk=face_chunk,
         occlusion=occlusion,
         tri_normals=tri_normals,
+        face_transmission=face_transmission,
+        transmission=transmission,
     )
     band_freqs = jnp.asarray(
         np.geomspace(125.0, 8000.0, face_absorption.shape[1])
@@ -427,7 +470,7 @@ def trace_rirs(
 
 @partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "n_sources", "occlusion"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "n_sources", "occlusion", "transmission"),
 )
 def trace_energy_histogram_multi(
     key: jax.Array,
@@ -446,6 +489,8 @@ def trace_energy_histogram_multi(
     face_chunk: int = 4096,
     occlusion: bool = True,
     tri_normals: jnp.ndarray = None,
+    face_transmission: jnp.ndarray = None,
+    transmission: bool = False,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
 
@@ -454,8 +499,12 @@ def trace_energy_histogram_multi(
     keeps the chip busy instead of paying the per-step dispatch latency E times
     (the lax.map-over-sources formulation was latency-bound on small scenes).
 
+    `transmission`/`face_transmission` behave as in trace_energy_histogram.
+
     Returns (E, C_out, B, n_bins).
     """
+    if transmission and face_transmission is None:
+        raise ValueError("transmission=True requires face_transmission (F, B)")
     n_bands = face_absorption.shape[1]
     cl = listener_pos.shape[0]
     c_out = {"foa": 4, "binaural": 2}.get(encoding, cl)
@@ -497,7 +546,13 @@ def trace_energy_histogram_multi(
         normal = jnp.where((jnp.sum(normal * dirs, axis=-1) > 0)[:, None], -normal, normal)
 
         alpha = face_absorption[face_safe]
-        e_refl = energy * (1.0 - alpha)
+        e_nonabs = energy * (1.0 - alpha)
+        if transmission:
+            tau = face_transmission[face_safe]  # (TR, B)
+            e_refl = e_nonabs * (1.0 - tau)
+            e_trans = e_nonabs * tau
+        else:
+            e_refl = e_nonabs
 
         if occlusion:
             starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, total_rays, 3)).reshape(-1, 3)
@@ -568,20 +623,36 @@ def trace_energy_histogram_multi(
             )
 
         # Reflect
-        k_spec, k_diff = jax.random.split(k_step)
+        if transmission:
+            k_spec, k_diff, k_trans = jax.random.split(k_step, 3)
+        else:
+            k_spec, k_diff = jax.random.split(k_step)
         spec_dir = dirs - 2.0 * jnp.sum(dirs * normal, axis=-1, keepdims=True) * normal
         diff_dir = _cosine_hemisphere(k_diff, normal)
         s = face_scattering[face_safe]
         go_diffuse = jax.random.uniform(k_spec, (total_rays,)) < s
         new_dirs = jnp.where(go_diffuse[:, None], diff_dir, spec_dir)
         new_origins = hit + 1e-4 * normal
+        new_energy = e_refl
+
+        if transmission:
+            # Russian roulette reflect-vs-transmit (see trace_energy_histogram)
+            w_r = jnp.mean(e_refl, axis=-1)
+            w_t = jnp.mean(e_trans, axis=-1)
+            p_t = w_t / jnp.maximum(w_r + w_t, 1e-30)
+            go_trans = jax.random.uniform(k_trans, (total_rays,)) < p_t
+            e_branch_t = e_trans / jnp.maximum(p_t, 1e-12)[:, None]
+            e_branch_r = e_refl / jnp.maximum(1.0 - p_t, 1e-12)[:, None]
+            new_energy = jnp.where(go_trans[:, None], e_branch_t, e_branch_r)
+            new_dirs = jnp.where(go_trans[:, None], dirs, new_dirs)
+            new_origins = hit + jnp.where(go_trans[:, None], -1e-4, 1e-4) * normal
 
         new_alive = (
             hit_ok
-            & (jnp.max(e_refl, axis=-1) * n_rays > 1e-6)
+            & (jnp.max(new_energy, axis=-1) * n_rays > 1e-6)
             & (new_dist < c * n_bins * bin_dt)
         )
-        return (new_origins, new_dirs, e_refl, new_dist, new_alive, hist), None
+        return (new_origins, new_dirs, new_energy, new_dist, new_alive, hist), None
 
     (_, _, _, _, _, hist), _ = jax.lax.scan(
         bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys
@@ -606,6 +677,8 @@ def trace_rirs_multi(
     face_chunk: int = 4096,
     occlusion: bool = True,
     tri_normals: jnp.ndarray = None,
+    face_transmission: jnp.ndarray = None,
+    transmission: bool = False,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
@@ -633,6 +706,8 @@ def trace_rirs_multi(
         face_chunk=face_chunk,
         occlusion=occlusion,
         tri_normals=tri_normals,
+        face_transmission=face_transmission,
+        transmission=transmission,
     )  # (E, C_out, B, bins)
 
     band_freqs = jnp.asarray(

@@ -32,6 +32,7 @@ from audiblelight_tpu.micarrays import MicArray
 from audiblelight_tpu.rir.materials import (
     get_material_absorption,
     get_material_scattering,
+    get_material_transmission,
     octave_band_centers,
     validate_material,
 )
@@ -227,18 +228,32 @@ class WorldStateRLR(PlacementMixin, WorldState):
         return self._tris_device
 
     @property
-    def face_props_device(self) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Per-face (absorption (F, B), scattering (F,)) device arrays."""
+    def face_props_device(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Per-face (absorption (F, B), scattering (F,), transmission (F, B))
+        device arrays."""
         if self._face_props_device is None:
             n_faces = len(self.mesh.faces)
             bands = octave_band_centers(int(self.cfg.frequency_bands))
             alpha = get_material_absorption(self.material, bands)
             scat = get_material_scattering(self.material)
+            tau = get_material_transmission(self.material, bands)
+            # Diffraction story: the stochastic tracer has no explicit edge
+            # diffraction (the reference's rlr engine models it via its beam
+            # tracer). With cfg.diffraction on, the established first-order
+            # surrogate is raising the diffuse-scattering floor so reflected
+            # energy spreads into geometric shadow zones — the same late-field
+            # effect edge diffraction produces; the exact direct path still
+            # uses binary occlusion. See docs/backends.md.
+            if bool(self.cfg.diffraction):
+                scat = max(scat, config.DIFFRACTION_SCATTERING_FLOOR)
             self._face_props_device = (
                 jnp.broadcast_to(
                     jnp.asarray(alpha, dtype=jnp.float32), (n_faces, len(bands))
                 ),
                 jnp.full((n_faces,), scat, dtype=jnp.float32),
+                jnp.broadcast_to(
+                    jnp.asarray(tau, dtype=jnp.float32), (n_faces, len(bands))
+                ),
             )
         return self._face_props_device
 
@@ -456,7 +471,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
 
     def get_irs(self) -> OrderedDict[str, np.ndarray]:
         """Trace and return {mic_alias: (n_capsules, n_emitters, n_samples)}."""
-        absorption, scattering = self.face_props_device
+        absorption, scattering, face_tau = self.face_props_device
         sources = jnp.asarray(self._emitter_positions(), dtype=jnp.float32)
         n_samples = int(round(float(self.cfg.max_ir_length) * self.sample_rate))
 
@@ -491,6 +506,8 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 # Convex rooms have no interior occlusion: skip the per-bounce
                 # visibility queries exactly (the tracer's dominant cost).
                 occlusion=not self.mesh.is_convex,
+                face_transmission=face_tau,
+                transmission=bool(self.cfg.transmission),
             )
             arr = np.asarray(irs)
             mic.irs = arr

@@ -213,3 +213,106 @@ def test_convex_room_occlusion_skip_is_exact():
     off = np.asarray(trace_rirs_multi(key, tris, absorp, scatter, srcs, lis,
                                       occlusion=False, **kw))
     np.testing.assert_array_equal(on, off)
+
+
+def _divided_room(tau=0.02, n_bands=2):
+    """A 6x4x3 room fully divided at x=3 by a wall (nonconvex soup)."""
+    room = box_mesh(extents=ROOM, center=ROOM / 2)
+    # Wall overlaps the outer shell so no gap leaks around its edges
+    wall = box_mesh(extents=[0.2, 4.4, 3.4], center=[3.0, 2.0, 1.5], inward_normals=False)
+    tris = jnp.asarray(np.concatenate([room.triangles, wall.triangles]).astype(np.float32))
+    f = tris.shape[0]
+    absorption = jnp.full((f, n_bands), 0.3, jnp.float32)
+    scatter = jnp.full((f,), 0.3, jnp.float32)
+    transmission = jnp.full((f, n_bands), tau, jnp.float32)
+    return tris, absorption, scatter, transmission
+
+
+def test_transmission_through_dividing_wall():
+    """With transmission off, a fully divided room passes zero energy across the
+    wall; with it on, the listener receives a nonzero but bounded tail
+    (the reference rlr config's `transmission` field, reference
+    tests/test_worldstate_rlr.py:810-835)."""
+    tris, absorption, scatter, tau = _divided_room(tau=0.02)
+    src = jnp.asarray([[1.5, 2.0, 1.5]], jnp.float32)  # left of the wall
+    lis = jnp.asarray([[4.5, 2.0, 1.5]], jnp.float32)  # right of the wall
+    key = jax.random.PRNGKey(7)
+    kw = dict(n_samples=2400, sr=24000, n_rays=2048, max_depth=24, occlusion=True)
+
+    ir_off = np.asarray(
+        trace_rirs_multi(key, tris, absorption, scatter, src, lis, **kw)
+    )
+    assert np.abs(ir_off).max() == 0.0  # divided: no path at all
+
+    ir_on = np.asarray(
+        trace_rirs_multi(key, tris, absorption, scatter, src, lis,
+                         face_transmission=tau, transmission=True, **kw)
+    )
+    e_on = float(np.sum(ir_on**2))
+    assert e_on > 0.0  # energy leaked through the wall
+
+    # Bounded: far below the same trace in an undivided room
+    room = box_mesh(extents=ROOM, center=ROOM / 2)
+    tris_open = jnp.asarray(room.triangles.astype(np.float32))
+    f = tris_open.shape[0]
+    ir_open = np.asarray(
+        trace_rirs_multi(key, tris_open, jnp.full((f, 2), 0.3, jnp.float32),
+                         jnp.full((f,), 0.3, jnp.float32), src, lis,
+                         n_samples=2400, sr=24000, n_rays=2048, max_depth=24,
+                         occlusion=False)
+    )
+    e_open = float(np.sum(ir_open**2))
+    assert e_on < 0.2 * e_open
+
+
+def test_transmission_scales_with_tau():
+    """More transmissive walls leak more energy."""
+    src = jnp.asarray([[1.5, 2.0, 1.5]], jnp.float32)
+    lis = jnp.asarray([[4.5, 2.0, 1.5]], jnp.float32)
+    key = jax.random.PRNGKey(3)
+    kw = dict(n_samples=2400, sr=24000, n_rays=2048, max_depth=24, occlusion=True)
+
+    energies = []
+    for tau_val in (1e-3, 3e-2):
+        tris, absorption, scatter, tau = _divided_room(tau=tau_val)
+        ir = np.asarray(
+            trace_rirs_multi(key, tris, absorption, scatter, src, lis,
+                             face_transmission=tau, transmission=True, **kw)
+        )
+        energies.append(float(np.sum(ir**2)))
+    assert energies[1] > 3.0 * energies[0]
+
+
+def test_transmission_config_plumbs_through_backend():
+    """WorldStateRLR's rlr_kwargs transmission flag changes simulated IRs."""
+    from audiblelight_tpu.geometry.mesh import TriMesh
+    from audiblelight_tpu.worldstate.mesh_backend import WorldStateRLR
+
+    room = box_mesh(extents=ROOM, center=ROOM / 2)
+    wall = box_mesh(extents=[0.2, 4.4, 3.4], center=[3.0, 2.0, 1.5], inward_normals=False)
+    soup = TriMesh(
+        vertices=np.concatenate([room.vertices, wall.vertices]),
+        faces=np.concatenate([room.faces, wall.faces + len(room.vertices)]),
+    )
+
+    irs = {}
+    for flag in (False, True):
+        # Curtain: tau ~0.2 at 500 Hz. The wall is a closed box (two faces), so
+        # pass-through probability is ~tau^2 — pick rays/depth high enough that
+        # the transmitted flux is reliably nonzero.
+        state = WorldStateRLR(
+            mesh=soup, material="Curtain", seed=0, sample_rate=24000,
+            rlr_kwargs=dict(transmission=flag, indirect_ray_count=4096,
+                            indirect_ray_depth=24, max_ir_length=0.1,
+                            sample_rate=24000),
+        )
+        assert state.cfg.transmission is flag
+        state.add_microphone("monocapsule", [4.5, 2.0, 1.5], "mic000")
+        state._add_emitters_without_validating(np.array([[1.5, 2.0, 1.5]]), "src000")
+        state.simulate()
+        irs[flag] = state.irs["mic000"]
+
+    e_off = float(np.sum(irs[False] ** 2))
+    e_on = float(np.sum(irs[True] ** 2))
+    assert e_off == 0.0
+    assert e_on > 0.0
