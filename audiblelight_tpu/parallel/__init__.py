@@ -51,16 +51,95 @@ def make_mesh(
     return Mesh(dev_array, ("scene", "chan"))
 
 
-def stack_plans(plans: Sequence[ScenePlan]) -> dict:
-    """Stack equal-shape ScenePlans into batched arrays (leading scene axis)."""
+def pad_plans(plans: Sequence[ScenePlan]) -> list[ScenePlan]:
+    """Zero-pad ragged ScenePlans to shared bucket shapes so they batch.
+
+    Real dataset runs produce scenes with different event counts, audio
+    lengths, trajectory resolutions and durations; this pads every raggable
+    axis (static/moving event slots, event samples, IR length, trajectory
+    points, STFT frames, scene samples) up to the batch maximum. Padding is
+    exact by construction: extra event slots carry mask=0, extra audio/IR/
+    weight samples are zeros, and a longer scene axis only appends silence
+    (callers trim to each scene's true duration). Channel counts must match —
+    scenes recorded with different mic rigs don't share a program.
+    """
+    from audiblelight_tpu.ops.stft import n_stft_frames
+
+    c = plans[0].static_irs.shape[1]
+    for p in plans[1:]:
+        if p.static_irs.shape[1] != c:
+            raise ValueError(
+                f"Cannot batch plans with different channel counts "
+                f"({p.static_irs.shape[1]} vs {c}); use equal mic configurations."
+            )
+
+    es = max(p.static_audio.shape[0] for p in plans)
+    em = max(p.moving_audio.shape[0] for p in plans)
+    s = max(max(p.static_audio.shape[1], p.moving_audio.shape[1]) for p in plans)
+    l = max(max(p.static_irs.shape[2], p.moving_irs.shape[3]) for p in plans)
+    j = max(p.moving_irs.shape[2] for p in plans)
+    fr = n_stft_frames(s)
+    t = max(p.n_scene_samples for p in plans)
+
+    targets = dict(
+        static_audio=(es, s),
+        static_irs=(es, c, l),
+        static_mask=(es,),
+        static_snr=(es,),
+        static_start=(es,),
+        static_len=(es,),
+        static_place_len=(es,),
+        moving_audio=(em, s),
+        moving_irs=(em, c, j, l),
+        moving_w=(em, fr, j),
+        moving_mask=(em,),
+        moving_snr=(em,),
+        moving_start=(em,),
+        moving_len=(em,),
+        moving_place_len=(em,),
+        ambience=(c, t),
+        ref_db=(),
+    )
+    # Unfilled event slots keep length 1 (the builder's convention) so the
+    # level chain's per-length statistics never divide by zero.
+    pad_value = dict(static_len=1, moving_len=1)
+
+    out = []
+    for p in plans:
+        kwargs = {}
+        for f, tgt in targets.items():
+            arr = getattr(p, f)
+            if arr.shape == tgt:
+                kwargs[f] = arr
+                continue
+            pad = [(0, want - have) for have, want in zip(arr.shape, tgt)]
+            kwargs[f] = jnp.pad(arr, pad, constant_values=pad_value.get(f, 0))
+        kwargs["n_scene_samples"] = t
+        out.append(ScenePlan(**kwargs))
+    return out
+
+
+def stack_plans(plans: Sequence[ScenePlan], pad: bool = False) -> dict:
+    """Stack ScenePlans into batched arrays (leading scene axis).
+
+    With `pad=True`, ragged plans are first padded to shared bucket shapes via
+    pad_plans; otherwise shapes must already match exactly.
+    """
+    if pad:
+        plans = pad_plans(plans)
     shapes = {f: getattr(plans[0], f).shape for f in _PLAN_FIELDS}
     for p in plans[1:]:
         for f in _PLAN_FIELDS:
             if getattr(p, f).shape != shapes[f]:
                 raise ValueError(
                     f"Plan field {f} has mismatched shape {getattr(p, f).shape} vs {shapes[f]}; "
-                    f"build plans with identical bucket sizes to batch them."
+                    f"build plans with identical bucket sizes (or pass pad=True) to batch them."
                 )
+        if p.n_scene_samples != plans[0].n_scene_samples:
+            raise ValueError(
+                f"Plan n_scene_samples mismatch ({p.n_scene_samples} vs "
+                f"{plans[0].n_scene_samples}); pass pad=True to batch ragged scenes."
+            )
     batched = {f: jnp.stack([getattr(p, f) for p in plans]) for f in _PLAN_FIELDS}
     batched["n_scene_samples"] = plans[0].n_scene_samples
     return batched
@@ -174,4 +253,4 @@ def shard_trace_rirs(
     return fn(source_positions, tri_normals)
 
 
-__all__ = ["make_mesh", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs"]
+__all__ = ["make_mesh", "pad_plans", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs"]

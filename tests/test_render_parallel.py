@@ -190,3 +190,66 @@ def test_stem_render_matches_full_device_mix(fg_dir):
     # per-stem int16 quantisation must be transparent at the stem level too
     deq = np.asarray(q).astype(np.float32) * np.asarray(scales)[:, None, None]
     np.testing.assert_allclose(deq, np.asarray(stems), atol=np.abs(np.asarray(stems)).max() / 32000)
+
+
+def test_ragged_batch_pads_and_matches(fg_dir):
+    """Scenes with different event counts, audio lengths and durations batch via
+    stack_plans(pad=True) and each padded render matches the unpadded one."""
+    from audiblelight_tpu.parallel import pad_plans
+
+    scene_a = make_scene(fg_dir, seed=0)  # 8 s, 1 static + 1 moving
+
+    scene_b = Scene(
+        duration=6.0,
+        backend="shoebox",
+        fg_path=fg_dir,
+        backend_kwargs=dict(
+            dimensions=[6.0, 4.0, 3.0], max_order=4, max_ir_length=0.15,
+            frequency_bands=1, seed=3,
+        ),
+    )
+    scene_b.add_microphone(microphone_type="ambeovr", position=[3.0, 2.0, 1.5], alias="m")
+    for i, t0 in enumerate((0.5, 2.0, 3.5)):
+        scene_b.add_event(
+            event_type="static", position=[1.0 + i, 1.0, 1.0], alias=f"s{i}",
+            scene_start=t0, event_start=0.0, duration=1.0, snr=10.0,
+        )
+    scene_b.add_ambience(noise="pink")
+
+    plans = [build_scene_plan(scene_a), build_scene_plan(scene_b)]
+    # The plans really are ragged
+    assert plans[0].static_audio.shape != plans[1].static_audio.shape
+    assert plans[0].n_scene_samples != plans[1].n_scene_samples
+    with pytest.raises(ValueError, match="pad=True"):
+        stack_plans(plans)
+
+    batched = stack_plans(plans, pad=True)
+    out = np.asarray(render_batch(batched))
+    assert out.shape == (2, 4, 8 * SR)
+
+    for i, p in enumerate(plans):
+        single = np.asarray(render_scene_plan(p))
+        t_i = p.n_scene_samples
+        scale = max(np.abs(single).max(), 1e-9)
+        np.testing.assert_allclose(
+            out[i, :, :t_i] / scale, single / scale, atol=2e-5
+        )
+        # the padded region beyond a shorter scene is silent
+        if t_i < out.shape[2]:
+            assert np.abs(out[i, :, t_i:]).max() == 0.0
+
+
+def test_pad_plans_rejects_mismatched_channels(fg_dir):
+    from audiblelight_tpu.parallel import pad_plans
+
+    scene_a = make_scene(fg_dir, seed=0)
+    plan_a = build_scene_plan(scene_a)
+    import dataclasses
+    plan_bad = dataclasses.replace(
+        plan_a,
+        static_irs=plan_a.static_irs[:, :2],
+        moving_irs=plan_a.moving_irs[:, :2],
+        ambience=plan_a.ambience[:2],
+    )
+    with pytest.raises(ValueError, match="channel"):
+        pad_plans([plan_a, plan_bad])
