@@ -4,8 +4,8 @@ Replaces the reference's librosa/soundfile usage (reference event.py:520 loads w
 ``librosa.load(sr=, mono=True, offset=, duration=)``; core.py:1841 writes WAVs with
 soundfile). Implemented on the standard RIFF/WAVE format directly so the package has
 no native audio-codec dependency: PCM 16/24/32-bit and IEEE float 32/64 are supported.
-Non-WAV formats (mp3/flac/...) require an optional external decoder and raise a clear
-error.
+MP3 (the FMA music corpus format) and FLAC dispatch to audiblelight_tpu.io.codecs
+(system libmpg123 over ctypes / pure-Python FLAC); other formats raise a clear error.
 """
 
 from __future__ import annotations
@@ -177,12 +177,25 @@ def wav_write(
 
 
 def get_duration(path: Union[str, Path]) -> float:
-    """Duration of an audio file in seconds, from the header only (no decode)."""
+    """Duration of an audio file in seconds, from the header only (no decode).
+
+    WAV natively; MP3 via the system libmpg123 (frame scan); FLAC from
+    STREAMINFO (audiblelight_tpu.io.codecs).
+    """
     path = Path(path)
-    if path.suffix.lower() != ".wav":
+    suffix = path.suffix.lower()
+    if suffix == ".mp3":
+        from audiblelight_tpu.io.codecs import mp3_duration
+
+        return mp3_duration(path)
+    if suffix == ".flac":
+        from audiblelight_tpu.io.codecs import flac_duration
+
+        return flac_duration(path)
+    if suffix != ".wav":
         raise ValueError(
-            f"Only WAV files are supported natively; got '{path.suffix}'. "
-            f"Convert other formats to WAV, or install an external decoder."
+            f"Unsupported audio format '{suffix}' (wav/mp3/flac are supported). "
+            f"Convert other formats to WAV."
         )
     _, channels, sr, bits, _, data_size = _read_header(path)
     return data_size / (channels * (bits // 8)) / sr
@@ -211,8 +224,28 @@ def load_audio(
     Decodes (a slice of) the file, optionally mixes down to mono (mean of channels)
     and resamples to `sr`. Returns (audio, sr) where mono audio has shape (samples,)
     and multichannel audio has shape (channels, samples).
+
+    WAV decodes natively (seekable, so offset/duration read only that slice);
+    MP3 decodes through the system libmpg123 and FLAC through the pure-Python
+    decoder (audiblelight_tpu.io.codecs) — both decode fully, then slice.
+    The reference loads every format via librosa (reference event.py:520);
+    FMA music events are MP3.
     """
-    audio, file_sr = wav_read(path, offset=offset, duration=duration)
+    suffix = Path(path).suffix.lower()
+    if suffix in (".mp3", ".flac"):
+        if suffix == ".mp3":
+            from audiblelight_tpu.io.codecs import mp3_read
+
+            audio, file_sr = mp3_read(path)
+        else:
+            from audiblelight_tpu.io.codecs import flac_read
+
+            audio, file_sr = flac_read(path)
+        start = round(offset * file_sr)
+        stop = None if duration is None else start + round(duration * file_sr)
+        audio = audio[:, start:stop]
+    else:
+        audio, file_sr = wav_read(path, offset=offset, duration=duration)
     if mono:
         audio = np.mean(audio, axis=0)
     if sr is not None and sr != file_sr:
