@@ -60,8 +60,12 @@ def get_augmentations(names):
     return out
 
 
-def build_backend_kwargs(args, rng):
-    """Backend-specific constructor kwargs for this scene."""
+def build_backend_kwargs(args, rng, room=None):
+    """Backend-specific constructor kwargs for this scene.
+
+    `room` is a room-table entry (see seld_dataset_assets) when generating from
+    an asset split; None means the single-room CLI path (--mesh/--sofa).
+    """
     if args.backend == "shoebox":
         dims = rng.uniform([5.0, 4.0, 2.6], [10.0, 8.0, 3.5])
         return dict(
@@ -72,19 +76,34 @@ def build_backend_kwargs(args, rng):
             seed=int(rng.integers(2**31)),
         )
     if args.backend == "rlr":
-        if args.mesh is None:
-            raise ValueError("--mesh is required for the rlr backend")
+        if room is not None:
+            from seld_dataset_assets import resolve_room
+
+            mesh = resolve_room(room, args.mesh_dir)
+        elif args.mesh is not None:
+            mesh = args.mesh
+        else:
+            raise ValueError("--mesh or --assets is required for the rlr backend")
+        rlr_kwargs = dict(max_ir_length=args.ir_seconds)
+        if args.rays is not None:
+            rlr_kwargs["indirect_ray_count"] = args.rays
+        if args.ray_depth is not None:
+            rlr_kwargs["indirect_ray_depth"] = args.ray_depth
         return dict(
-            mesh=args.mesh,
+            mesh=mesh,
             material=args.material if args.materials else None,
             add_to_context=False,
-            rlr_kwargs=dict(max_ir_length=args.ir_seconds),
+            rlr_kwargs=rlr_kwargs,
             seed=int(rng.integers(2**31)),
         )
     if args.backend == "sofa":
-        if args.sofa is None:
-            raise ValueError("--sofa is required for the sofa backend")
-        return dict(sofa=args.sofa)
+        if room is not None:
+            sofa = Path(args.sofa_dir) / f"{room}_{args.channel_layout}.sofa"
+        elif args.sofa is not None:
+            sofa = args.sofa
+        else:
+            raise ValueError("--sofa or --assets is required for the sofa backend")
+        return dict(sofa=sofa)
     raise ValueError(f"Unknown backend {args.backend}")
 
 
@@ -95,8 +114,13 @@ def generate(
     scape_num: int,
     rng: np.random.Generator,
     depth: int = 0,
+    room: str = None,
 ) -> None:
-    """Generate one complete scene (audio + DCASE csv + JSON), with resume/retry."""
+    """Generate one complete scene (audio + DCASE csv + JSON), with resume/retry.
+
+    `room` names a room-table entry (seld_dataset_assets) when iterating an
+    asset split; scene_num then identifies the room within its split.
+    """
     fold = 1 if split == "train" else 2
     common = f"dev-{split}-alight/fold{fold}_scene{scene_num}_{str(scape_num).zfill(3)}"
     audio_path = Path(args.output_dir) / f"{args.channel_layout}_dev/{common}"
@@ -116,7 +140,7 @@ def generate(
         duration=args.duration,
         sample_rate=SAMPLE_RATE,
         backend=args.backend,
-        backend_kwargs=build_backend_kwargs(args, rng),
+        backend_kwargs=build_backend_kwargs(args, rng, room=room),
         fg_path=args.fg_dir,
         max_overlap=args.max_overlap,
         event_augmentations=(
@@ -158,7 +182,7 @@ def generate(
         if depth >= 5:
             raise RuntimeError(f"Could not place any events for scene {common}")
         logger.warning(f"No events placed for {common}; retrying...")
-        return generate(args, split, scene_num, scape_num, rng, depth + 1)
+        return generate(args, split, scene_num, scape_num, rng, depth + 1, room=room)
 
     scene.add_ambience(noise="gaussian")
     scene.generate(
@@ -183,6 +207,26 @@ def main():
     parser.add_argument("--backend", choices=["shoebox", "rlr", "sofa"], default="shoebox")
     parser.add_argument("--mesh", type=str, default=None, help="mesh file (rlr backend)")
     parser.add_argument("--sofa", type=str, default=None, help="SOFA file (sofa backend)")
+    parser.add_argument(
+        "--assets",
+        type=str,
+        default=None,
+        help="room split from seld_dataset_assets (e.g. 9A, 12, 144): iterate "
+        "train/test rooms x scapes-per-room for the full 1200-scene DCASE2023 "
+        "layout. Missing Gibson meshes get deterministic synthetic stand-ins.",
+    )
+    parser.add_argument(
+        "--mesh-dir", type=str, default=None,
+        help="directory holding Gibson .glb meshes (used with --assets)",
+    )
+    parser.add_argument(
+        "--sofa-dir", type=str, default=None,
+        help="directory holding TAU-SRIR .sofa files (used with --assets)",
+    )
+    parser.add_argument(
+        "--scapes-per-room", type=int, default=None,
+        help="override the asset table's per-room scape counts (smoke tests)",
+    )
     parser.add_argument("--channel-layout", choices=["foa", "mic"], default="mic")
     parser.add_argument("--n-scenes", type=int, default=10, help="scenes per split")
     parser.add_argument("--train-frac", type=float, default=0.75)
@@ -201,14 +245,40 @@ def main():
     parser.add_argument("--materials", action="store_true", help="use acoustic materials")
     parser.add_argument("--material", type=str, default="Default")
     parser.add_argument("--ism-order", type=int, default=12, help="shoebox image order")
+    parser.add_argument("--rays", type=int, default=None, help="indirect ray count (rlr)")
+    parser.add_argument("--ray-depth", type=int, default=None, help="indirect ray depth (rlr)")
     parser.add_argument("--ir-seconds", type=float, default=config.MAX_IR_SECONDS)
     parser.add_argument("--duration", type=float, default=DURATION)
     parser.add_argument("--seed", type=int, default=utils.SEED)
     args = parser.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    n_train = round(args.n_scenes * args.train_frac)
 
+    if args.assets is not None:
+        # Full dataset layout: iterate rooms x splits from the asset table
+        # (reference generate_dataset.py:330-376 — but rooms here may resolve
+        # to deterministic synthetic stand-ins when Gibson meshes are absent).
+        from seld_dataset_assets import get_assets
+
+        chosen = get_assets(args.backend, args.assets)
+        jobs = []
+        for split in ("train", "test"):
+            per_room = (
+                args.scapes_per_room
+                if args.scapes_per_room is not None
+                else chosen[f"scapes_per_{split}_mesh"]
+            )
+            for room_idx, room in enumerate(chosen[split]):
+                for scape in range(per_room):
+                    jobs.append((split, room_idx, room, scape))
+        for idx, (split, room_idx, room, scape) in enumerate(jobs):
+            logger.warning(
+                f"[{idx + 1}/{len(jobs)}] {split} room {room} scape {scape}"
+            )
+            generate(args, split, scene_num=room_idx, scape_num=scape, rng=rng, room=room)
+        return
+
+    n_train = round(args.n_scenes * args.train_frac)
     jobs = [("train", i) for i in range(n_train)] + [
         ("test", i) for i in range(args.n_scenes - n_train)
     ]

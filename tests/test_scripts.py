@@ -192,3 +192,52 @@ def test_download_data_gating():
     ]:
         with pytest.raises((ImportError, NotImplementedError)):
             fn("/tmp/nonexistent_dl")
+
+
+def test_seld_assets_table_sanity():
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "scripts/seld"))
+    import seld_dataset_assets as assets
+
+    assets.sanity_check()
+    # Every split totals 1200 scenes over rooms x scapes
+    assert set(assets.MESHES) == {"9", "9A", "9B", "9C", "9D", "12", "18", "36", "72", "144"}
+    # Stand-in rooms are deterministic, nonconvex, and watertight
+    room = assets.synthetic_room("Helix.glb")
+    assert not room.is_convex and room.is_watertight
+    assert room.metadata["synthetic_stand_in"]
+    # resolve_room prefers a real file when present
+    assert assets.resolve_room("Helix.glb", None).metadata["synthetic_stand_in"]
+
+
+def test_seld_generate_dataset_from_assets(fg_dir, tmp_path):
+    """--assets iterates rooms x splits from the table (DCASE2023 layout)."""
+    res = run_script(
+        "scripts/seld/generate_dataset.py",
+        "--fg-dir", str(fg_dir),
+        "--output-dir", str(tmp_path),
+        "--backend", "rlr",
+        "--assets", "9A",
+        "--scapes-per-room", "1",
+        "--min-events-static", "1",
+        "--max-events-static", "1",
+        "--min-events-moving", "0",
+        "--max-events-moving", "0",
+        "--rays", "256",
+        "--ray-depth", "6",
+        "--ir-seconds", "0.1",
+        "--duration", "6",
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    wavs = sorted(tmp_path.rglob("*.wav"))
+    # 6 train rooms + 3 test rooms, 1 scape each
+    train = [p for p in wavs if "dev-train-alight" in str(p)]
+    test = [p for p in wavs if "dev-test-alight" in str(p)]
+    assert len(train) == 6, [str(p) for p in wavs]
+    assert len(test) == 3
+    # Room index is encoded as the scene number (fold1_scene<room>_000)
+    assert any("fold1_scene5_000" in str(p) for p in train)
+    assert any("fold2_scene2_000" in str(p) for p in test)
+    csvs = list(tmp_path.rglob("*.csv"))
+    assert len(csvs) == 9
