@@ -23,20 +23,43 @@ METU_SPARG_ZENODO = "https://zenodo.org/records/2635758"
 
 
 def download_file(url: str, dest: Path) -> Path:
-    """Stream a file from `url` to `dest` (requires network access)."""
-    requests = safe_import(
-        "requests",
-        "Network downloads require the `requests` package and egress access. "
-        "In an offline environment, place the dataset files manually and use "
-        "`convert_rirs_to_sofa` instead.",
+    """Stream a file from `url` to `dest` (stdlib urllib, resumable)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from netutils import download_file as _dl
+
+    return _dl(url, dest)
+
+
+# Per-record archive names on the Zenodo landing pages
+_ZENODO_FILES = {
+    "tau": (TAU_SRIR_ZENODO, ["TAU-SRIR_DB.zip", "TAU-SNoise_DB.zip"]),
+    "metu": (METU_SPARG_ZENODO, ["spargair.zip"]),
+}
+
+
+def run(output_dir: Path, dataset: str = "tau") -> Path:
+    """Fetch + extract a measured-RIR dataset's archives into `output_dir`.
+
+    The archives hold MATLAB/mat or wav IRs; convert them into SingleRoomSRIR
+    SOFA files with the `convert` subcommand (offline) once extracted.
+    """
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from netutils import extract_zip
+
+    if dataset not in _ZENODO_FILES:
+        raise ValueError(f"dataset must be one of {list(_ZENODO_FILES)}, got {dataset}")
+    record, files = _ZENODO_FILES[dataset]
+    out = Path(output_dir)
+    for fname in files:
+        dest = out / fname
+        if not dest.is_file():
+            download_file(f"{record}/files/{fname}?download=1", dest)
+        extract_zip(dest, out)
+    logger.info(
+        f"Extracted {dataset} archives under {out}; convert IR arrays to SOFA "
+        f"with `python scripts/download_data/download_rirs.py convert ...`"
     )
-    dest.parent.mkdir(parents=True, exist_ok=True)
-    with requests.get(url, stream=True, timeout=60) as r:
-        r.raise_for_status()
-        with open(dest, "wb") as f:
-            for chunk in r.iter_content(chunk_size=1 << 20):
-                f.write(chunk)
-    return dest
+    return out
 
 
 def convert_rirs_to_sofa(
@@ -88,13 +111,8 @@ def main():
 
     args = parser.parse_args()
     if args.cmd == "download":
-        url = TAU_SRIR_ZENODO if args.dataset == "tau" else METU_SPARG_ZENODO
-        logger.warning(f"Dataset landing page: {url}")
-        raise SystemExit(
-            "Automated Zenodo download requires resolving per-file URLs from the "
-            "record page; fetch the archive manually (or with zenodo_get) and then "
-            "run the `convert` subcommand."
-        )
+        run(Path(args.output_dir), args.dataset)
+        return
     convert_npy_dir(Path(args.input_dir), Path(args.output), args.sample_rate, args.name)
 
 

@@ -179,19 +179,128 @@ def test_download_rirs_convert_offline(tmp_path):
         assert f.sampling_rate == 24000
 
 
-def test_download_data_gating():
-    """Network-dependent downloads raise descriptive errors offline."""
+def test_download_data_gating(tmp_path):
+    """Network fetch halves fail with ordinary errors offline; the license-gated
+    Gibson paths fail with descriptive ValueErrors when no id/archive is given."""
+    import urllib.error
+
     from audiblelight_tpu import download_data
 
+    net_errors = (urllib.error.URLError, OSError, ImportError)
     for fn in [
         download_data.download_fma,
-        download_data.download_gibson,
-        download_data.download_gibson_waypoints,
+        download_data.download_fsd,
         download_data.download_rirs,
         download_data.download_visualgenome,
     ]:
-        with pytest.raises((ImportError, NotImplementedError)):
-            fn("/tmp/nonexistent_dl")
+        with pytest.raises(net_errors):
+            fn(tmp_path / "dl")
+    for fn in [download_data.download_gibson, download_data.download_gibson_waypoints]:
+        with pytest.raises(ValueError):
+            fn(tmp_path / "dl")
+
+
+def test_organize_fma_offline(tmp_path):
+    """The FMA layout half works on a local extracted tree (no network)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "scripts/download_data"))
+    import pandas as pd
+
+    from download_fma import organize_fma
+
+    home = tmp_path / "home"
+    (home / "fma_metadata").mkdir(parents=True)
+    # tracks.csv with the two-level header the real metadata uses
+    cols = pd.MultiIndex.from_tuples([("track", "genre_top"), ("set", "subset")])
+    df = pd.DataFrame(
+        [["Rock", "small"], ["Rock", "small"], ["Jazz", "small"],
+         ["Electronic", "small"], ["Rock", "medium"]],
+        index=[2, 5, 10, 20, 30], columns=cols,
+    )
+    df.to_csv(home / "fma_metadata/tracks.csv")
+    for tid in (2, 5, 10, 20):
+        p = home / "fma_small" / f"{tid:06}"[:3]
+        p.mkdir(parents=True, exist_ok=True)
+        (p / f"{tid:06}.mp3").write_bytes(b"ID3fake")
+    out = tmp_path / "soundevents"
+    n = organize_fma(home, out, subset="small", ntracks_genre=10, seed=0)
+    # Electronic skipped; track 30 is medium-subset; 3 tracks laid out
+    assert n == 3
+    laid = sorted(str(p.relative_to(out)) for p in out.rglob("*.mp3"))
+    assert all(s.startswith("music/") for s in laid)
+    assert any("/Rock/" in s for s in laid) and any("/Jazz/" in s for s in laid)
+    assert not any("Electronic" in s for s in laid)
+
+
+def test_organize_fsd_offline(tmp_path):
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "scripts/download_data"))
+    from download_fsd import organize_fsd
+
+    home = tmp_path / "home"
+    (home / "FSD50K.dev_audio").mkdir(parents=True)
+    (home / "FSD50K.eval_audio").mkdir()
+    (home / "FSD50K.dev_audio" / "111.wav").write_bytes(b"RIFFfake")
+    (home / "FSD50K.eval_audio" / "222.wav").write_bytes(b"RIFFfake")
+    lines = ["train/maleSpeech/111.wav", "test/waterTap/222.wav", "train/bell/999.wav"]
+    out = tmp_path / "soundevents"
+    n = organize_fsd(home, lines, out)
+    assert n == 2  # 999.wav missing -> skipped with a warning
+    assert (out / "train/maleSpeech/111.wav").is_file()
+    assert (out / "test/waterTap/222.wav").is_file()
+
+
+def test_extract_gibson_offline(tmp_path):
+    import sys as _sys
+    import zipfile
+
+    _sys.path.insert(0, str(REPO / "scripts/download_data"))
+    from download_gibson import extract_gibson
+
+    archive = tmp_path / "gibson.zip"
+    with zipfile.ZipFile(archive, "w") as zf:
+        zf.writestr("gibson/Oyens.glb", b"glTF fake")
+        zf.writestr("gibson/nested/Helix.glb", b"glTF fake")
+        zf.writestr("gibson/readme.txt", b"not a mesh")
+    n = extract_gibson(archive, tmp_path / "resources")
+    assert n == 2
+    assert (tmp_path / "resources/meshes/gibson/Oyens.glb").is_file()
+    assert (tmp_path / "resources/meshes/gibson/Helix.glb").is_file()
+
+
+def test_extract_regions_offline(tmp_path):
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "scripts/download_data"))
+    import numpy as np
+    from PIL import Image
+
+    from download_visualgenome import extract_regions
+
+    imgs = tmp_path / "VG_100K"
+    imgs.mkdir()
+    Image.fromarray(
+        (np.random.default_rng(0).uniform(0, 255, (300, 400, 3))).astype("uint8")
+    ).save(imgs / "42.jpg")
+    objects = [
+        {
+            "image_id": 42,
+            "objects": [
+                {"names": ["telephone"], "x": 10, "y": 10, "w": 120, "h": 100},
+                {"names": ["woman"], "x": 200, "y": 50, "w": 100, "h": 150},
+                {"names": ["unrelated thing"], "x": 0, "y": 0, "w": 80, "h": 80},
+                {"names": ["tap"], "x": 5, "y": 5, "w": 10, "h": 10},  # too small
+            ],
+        },
+        {"image_id": 999, "objects": []},  # missing image -> skipped
+    ]
+    out = tmp_path / "images"
+    n = extract_regions(objects, [imgs], out)
+    assert n == 2
+    assert len(list((out / "telephone").glob("*.jpg"))) == 1
+    assert len(list((out / "femaleSpeech").glob("*.jpg"))) == 1
 
 
 def test_seld_assets_table_sanity():
