@@ -116,6 +116,10 @@ DIFFRACTION_SCATTERING_FLOOR = 0.35
 # Use the Pallas first-hit kernel on TPU backends (exact-match fallback to the
 # chunked XLA path on other backends / very large meshes)
 USE_PALLAS_RAYCAST = True
+# Above this face count WorldStateRLR builds a uniform-grid acceleration
+# structure (geometry.grid) — O(cells crossed) per ray instead of O(F) — the
+# scanned-mesh regime; below it the dense VMEM-tiled Pallas kernels win.
+GRID_ACCEL_MIN_FACES = 16384
 # Device-mesh axis names used by audiblelight_tpu.parallel
 MESH_AXIS_SCENE = "scene"  # data-parallel axis over scenes
 MESH_AXIS_TIME = "time"  # within-scene axis (time blocks / capsule groups)

@@ -7,7 +7,7 @@ validation and the ray tracer (reference's trimesh.ray/proximity hot loops,
 worldstate.py:1390-1544).
 """
 
-from audiblelight_tpu.geometry.mesh import TriMesh, box_mesh, load_mesh
+from audiblelight_tpu.geometry.mesh import TriMesh, box_mesh, load_mesh, scanned_like_room
 from audiblelight_tpu.geometry.queries import (
     nearest_surface_distance,
     points_inside_mesh,
@@ -19,6 +19,7 @@ __all__ = [
     "TriMesh",
     "load_mesh",
     "box_mesh",
+    "scanned_like_room",
     "points_inside_mesh",
     "nearest_surface_distance",
     "segments_occluded",

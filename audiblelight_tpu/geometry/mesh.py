@@ -109,13 +109,45 @@ class TriMesh:
         if len(self.faces) == 0 or not self.is_watertight:
             self._is_convex = False
             return False
+        # O(E) local test (the old all-vertices-vs-all-planes check was O(F*V)
+        # and hung on 10^5-face scans): a CONNECTED closed 2-manifold is convex
+        # iff every edge's dihedral is non-reflex BOTH ways — i.e. for each
+        # edge, each adjacent face's opposite vertex lies on a consistent side
+        # of the other face's plane. Winding consistency is implied by checking
+        # both signs globally rather than assuming inward/outward normals.
+        # Local convexity only composes on one component: a soup of several
+        # bodies (room + furniture) is never treated as convex.
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        f = self.faces
+        ii = np.concatenate([f[:, 0], f[:, 1], f[:, 2]])
+        jj = np.concatenate([f[:, 1], f[:, 2], f[:, 0]])
+        adj = coo_matrix(
+            (np.ones(len(ii)), (ii, jj)), shape=(len(self.vertices),) * 2
+        )
+        n_comp, _ = connected_components(adj, directed=False)
+        if n_comp > 1:
+            self._is_convex = False
+            return False
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        edges_sorted = np.sort(edges, axis=1)
+        opposite = np.concatenate([f[:, 2], f[:, 0], f[:, 1]])
+        face_of = np.tile(np.arange(len(f)), 3)
+        uniq, inverse = np.unique(edges_sorted, axis=0, return_inverse=True)
+        order = np.argsort(inverse, kind="stable")
+        # watertight => exactly two halfedges per unique edge
+        fa, fb = face_of[order[0::2]], face_of[order[1::2]]
+        ov_a, ov_b = opposite[order[0::2]], opposite[order[1::2]]
         tol = 1e-6 * float(np.max(np.ptp(self.vertices, axis=0)) + 1e-12)
         normals = self.face_normals
-        anchors = self.vertices[self.faces[:, 0]]
-        # signed distances of every vertex to every face plane: (F, V)
-        s = np.einsum("fk,fvk->fv", normals, self.vertices[None] - anchors[:, None])
-        one_sided = np.all(s >= -tol, axis=1) | np.all(s <= tol, axis=1)
-        self._is_convex = bool(np.all(one_sided))
+        anchors = self.vertices[f[:, 0]]
+        # signed distance of face B's opposite vertex to face A's plane (and
+        # vice versa); convex iff all share one sign across the whole mesh
+        s_ab = np.einsum("ek,ek->e", normals[fa], self.vertices[ov_b] - anchors[fa])
+        s_ba = np.einsum("ek,ek->e", normals[fb], self.vertices[ov_a] - anchors[fb])
+        s = np.concatenate([s_ab, s_ba])
+        self._is_convex = bool(np.all(s >= -tol) or np.all(s <= tol))
         return self._is_convex
 
     def broken_faces(self) -> np.ndarray:
@@ -211,6 +243,42 @@ class TriMesh:
     def scaled(self, factor: float) -> "TriMesh":
         """Return a copy with vertices scaled by `factor`."""
         return TriMesh(self.vertices * factor, self.faces.copy(), dict(self.metadata))
+
+    def subdivided(self, levels: int = 1) -> "TriMesh":
+        """Midpoint-subdivide each face into 4, `levels` times (watertight in,
+        watertight out: midpoints are deduplicated per shared edge)."""
+        vertices = self.vertices.copy()
+        faces = self.faces.copy()
+        for _ in range(levels):
+            n_v = len(vertices)
+            # Unique undirected edges + midpoint index per edge
+            e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+            e_sorted = np.sort(e, axis=1)
+            uniq, inverse = np.unique(e_sorted, axis=0, return_inverse=True)
+            midpoints = 0.5 * (vertices[uniq[:, 0]] + vertices[uniq[:, 1]])
+            vertices = np.concatenate([vertices, midpoints])
+            f = len(faces)
+            m01 = n_v + inverse[:f]
+            m12 = n_v + inverse[f : 2 * f]
+            m20 = n_v + inverse[2 * f :]
+            a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+            faces = np.concatenate(
+                [
+                    np.stack([a, m01, m20], 1),
+                    np.stack([m01, b, m12], 1),
+                    np.stack([m20, m12, c], 1),
+                    np.stack([m01, m12, m20], 1),
+                ]
+            )
+        return TriMesh(vertices, faces.astype(np.int32), dict(self.metadata))
+
+    def jittered(self, amplitude: float, seed: int = 0) -> "TriMesh":
+        """Displace vertices by uniform noise of +-`amplitude` (shared vertices
+        move together, so watertightness is preserved) — a cheap stand-in for
+        3D-scan surface roughness."""
+        rng = np.random.default_rng(seed)
+        noise = rng.uniform(-amplitude, amplitude, self.vertices.shape)
+        return TriMesh(self.vertices + noise, self.faces.copy(), dict(self.metadata))
 
     def __repr__(self) -> str:
         return (
@@ -365,3 +433,57 @@ def box_mesh(
     if inward_normals:
         faces = faces[:, ::-1]
     return TriMesh(vertices, faces, metadata=dict(fname="box", ftype="generated", fpath="box"))
+
+
+def scanned_like_room(
+    extents=(7.0, 5.0, 3.0),
+    center=None,
+    n_furniture: int = 8,
+    subdivision_levels: int = 5,
+    jitter: float = 0.015,
+    seed: int = 0,
+) -> TriMesh:
+    """A dense, noisy, nonconvex interior resembling a 3D-scanned room.
+
+    Stand-in workload for Gibson scans (which are license-gated downloads):
+    a box shell plus furniture/partition boxes, midpoint-subdivided and
+    vertex-jittered so the tracer faces ~10^5 irregular triangles with real
+    interior occlusion — the regime the reference pushes through rlr's C++
+    BVH (reference worldstate.py:2148-2181).
+    """
+    extents = np.asarray(extents, dtype=np.float64)
+    if center is None:
+        center = extents / 2
+    rng = np.random.default_rng(seed)
+
+    parts = [box_mesh(extents=extents, center=center)]
+    lo = center - extents / 2
+    for _ in range(max(0, int(n_furniture))):
+        if rng.uniform() < 0.4:
+            length = rng.uniform(0.3, 0.6) * extents[1]
+            ext = np.array([rng.uniform(0.1, 0.25), length, extents[2] * 0.95])
+            pos = lo + np.array(
+                [rng.uniform(0.25, 0.75) * extents[0], length / 2, ext[2] / 2]
+            )
+        else:
+            ext = rng.uniform([0.4, 0.4, 0.4], [1.6, 2.0, 1.3])
+            pos = lo + np.array(
+                [
+                    rng.uniform(0.15, 0.85) * extents[0],
+                    rng.uniform(0.15, 0.85) * extents[1],
+                    ext[2] / 2,
+                ]
+            )
+        parts.append(box_mesh(extents=ext, center=pos, inward_normals=False))
+
+    vertices = np.concatenate([p.vertices for p in parts])
+    faces_list, offset = [], 0
+    for p in parts:
+        faces_list.append(p.faces + offset)
+        offset += len(p.vertices)
+    mesh = TriMesh(vertices, np.concatenate(faces_list))
+    mesh = mesh.subdivided(subdivision_levels)
+    if jitter:
+        mesh = mesh.jittered(jitter, seed=seed)
+    mesh.metadata.update(fname=f"scanned_like_{seed}", fpath=f"synthetic://scanned_like_{seed}")
+    return mesh

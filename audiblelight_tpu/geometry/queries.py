@@ -186,18 +186,25 @@ def nearest_surface_distance(
 
 
 def segments_occluded(
-    starts: jnp.ndarray, ends: jnp.ndarray, tris: jnp.ndarray, face_chunk: int = 4096
+    starts: jnp.ndarray, ends: jnp.ndarray, tris: jnp.ndarray, face_chunk: int = 4096,
+    accel=None,
 ) -> jnp.ndarray:
     """True where the open segment start->end is blocked by the mesh. (R,) bools.
 
     A small endpoint margin keeps segments that *touch* the surface at their
     endpoints (e.g. emitters placed on walls) from counting as occluded.
 
-    On TPU backends this dispatches to the Pallas any-hit kernel
-    (ops.pallas_kernels.segments_occluded_pallas); the chunked XLA formulation
-    below is the fallback. Both agree exactly.
+    With a grid `accel` (geometry.grid.build_grid — the large scanned-mesh
+    path) the uniform-grid DDA runs; on TPU backends small meshes dispatch to
+    the Pallas any-hit kernel (ops.pallas_kernels.segments_occluded_pallas);
+    the chunked XLA formulation below is the fallback. All agree exactly.
     """
     from audiblelight_tpu import config as _config
+
+    if accel is not None:
+        from audiblelight_tpu.geometry.grid import grid_segments_occluded
+
+        return grid_segments_occluded(accel, jnp.atleast_2d(starts), jnp.atleast_2d(ends))
 
     if getattr(_config, "USE_PALLAS_RAYCAST", True) and tris.shape[0] <= 16384:
         from audiblelight_tpu.ops.pallas_kernels import (
@@ -246,19 +253,27 @@ def _segments_occluded_xla(
 
 
 def ray_mesh_first_hit(
-    origins: jnp.ndarray, dirs: jnp.ndarray, tris: jnp.ndarray, face_chunk: int = 4096
+    origins: jnp.ndarray, dirs: jnp.ndarray, tris: jnp.ndarray, face_chunk: int = 4096,
+    accel=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """First-hit distance and face index for rays against the mesh.
 
-    On TPU backends this dispatches to the Pallas kernel
+    With a grid `accel` (geometry.grid.build_grid) the uniform-grid DDA runs —
+    the large scanned-mesh path, O(cells crossed) per ray instead of O(F). On
+    TPU backends small meshes dispatch to the Pallas kernel
     (ops.pallas_kernels.ray_first_hit_pallas), which keeps each
-    (ray-block x face-chunk) tile in VMEM; elsewhere (or for very large meshes)
-    the chunked XLA formulation below runs. Both agree exactly.
+    (ray-block x face-chunk) tile in VMEM; elsewhere the chunked XLA
+    formulation below runs. All agree exactly.
 
     Returns:
         (t, face_idx): t is +inf (and face_idx -1) where a ray escapes.
     """
     from audiblelight_tpu import config as _config
+
+    if accel is not None:
+        from audiblelight_tpu.geometry.grid import grid_first_hit
+
+        return grid_first_hit(accel, jnp.atleast_2d(origins), jnp.atleast_2d(dirs))
 
     if getattr(_config, "USE_PALLAS_RAYCAST", True) and tris.shape[0] <= 16384:
         from audiblelight_tpu.ops.pallas_kernels import (

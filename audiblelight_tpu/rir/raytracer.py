@@ -96,6 +96,7 @@ def trace_energy_histogram(
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
     transmission: bool = False,
+    accel=None,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -159,7 +160,7 @@ def trace_energy_histogram(
     def bounce(carry, k_step):
         origins, dirs, energy, dist, alive, hist = carry
 
-        t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk)
+        t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
         hit_ok = alive & jnp.isfinite(t)
         t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
         face_safe = jnp.maximum(face, 0)
@@ -192,7 +193,7 @@ def trace_energy_histogram(
         if occlusion:
             starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, n_rays, 3)).reshape(-1, 3)
             ends = jnp.repeat(listener_pos, n_rays, axis=0)
-            occ = segments_occluded(starts, ends, tris, face_chunk).reshape(cl, n_rays)
+            occ = segments_occluded(starts, ends, tris, face_chunk, accel=accel).reshape(cl, n_rays)
         else:
             # Convex enclosure: interior segments are never blocked
             # (geometry.mesh.TriMesh.is_convex), so the query is skipped exactly.
@@ -364,6 +365,7 @@ def direct_path_ir(
     sr: int = config.SAMPLE_RATE,
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
+    accel=None,
 ) -> jnp.ndarray:
     """Exact direct-path contribution: windowed-sinc impulse at delay d/c with
     amplitude visibility/(4 pi d), encoded per channel. Returns (C_out, n_samples)."""
@@ -373,7 +375,7 @@ def direct_path_ir(
     vec = source_pos[None] - listener_pos  # (C, 3)
     d = jnp.linalg.norm(vec, axis=-1)
     dirs = vec / jnp.maximum(d[:, None], 1e-9)
-    occ = segments_occluded(listener_pos, jnp.broadcast_to(source_pos, (cl, 3)), tris)
+    occ = segments_occluded(listener_pos, jnp.broadcast_to(source_pos, (cl, 3)), tris, accel=accel)
     amp = (~occ) / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
 
     if encoding == "foa":
@@ -428,6 +430,7 @@ def trace_rirs(
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
     transmission: bool = False,
+    accel=None,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
 
@@ -453,6 +456,7 @@ def trace_rirs(
         tri_normals=tri_normals,
         face_transmission=face_transmission,
         transmission=transmission,
+        accel=accel,
     )
     band_freqs = jnp.asarray(
         np.geomspace(125.0, 8000.0, face_absorption.shape[1])
@@ -463,7 +467,8 @@ def trace_rirs(
         k_synth, hist, band_freqs, n_samples, bin_dt, sr=sr, encoding=encoding
     )
     direct = direct_path_ir(
-        tris, source_pos, listener_pos, n_samples, sr=sr, c=c, encoding=encoding
+        tris, source_pos, listener_pos, n_samples, sr=sr, c=c, encoding=encoding,
+        accel=accel,
     )
     return tail + direct
 
@@ -491,6 +496,7 @@ def trace_energy_histogram_multi(
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
     transmission: bool = False,
+    accel=None,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
 
@@ -535,7 +541,7 @@ def trace_energy_histogram_multi(
     def bounce(carry, k_step):
         origins, dirs, energy, dist, alive, hist = carry
 
-        t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk)
+        t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
         hit_ok = alive & jnp.isfinite(t)
         t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
         face_safe = jnp.maximum(face, 0)
@@ -557,7 +563,7 @@ def trace_energy_histogram_multi(
         if occlusion:
             starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, total_rays, 3)).reshape(-1, 3)
             ends = jnp.repeat(listener_pos, total_rays, axis=0)
-            occ = segments_occluded(starts, ends, tris, face_chunk).reshape(cl, total_rays)
+            occ = segments_occluded(starts, ends, tris, face_chunk, accel=accel).reshape(cl, total_rays)
         else:
             # Convex enclosure: interior segments are never blocked
             # (geometry.mesh.TriMesh.is_convex), so the query is skipped exactly.
@@ -679,6 +685,7 @@ def trace_rirs_multi(
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
     transmission: bool = False,
+    accel=None,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
@@ -708,6 +715,7 @@ def trace_rirs_multi(
         tri_normals=tri_normals,
         face_transmission=face_transmission,
         transmission=transmission,
+        accel=accel,
     )  # (E, C_out, B, bins)
 
     band_freqs = jnp.asarray(
@@ -723,7 +731,9 @@ def trace_rirs_multi(
     )(synth_keys, hist)  # (E, C_out, S)
 
     directs = jax.vmap(
-        lambda src: direct_path_ir(tris, src, listener_pos, n_samples, sr=sr, c=c, encoding=encoding)
+        lambda src: direct_path_ir(
+            tris, src, listener_pos, n_samples, sr=sr, c=c, encoding=encoding, accel=accel
+        )
     )(source_positions)  # (E, C_out, S)
 
     return jnp.moveaxis(tails + directs, 0, 1)

@@ -225,7 +225,25 @@ class WorldStateRLR(PlacementMixin, WorldState):
         """(F, 3, 3) float32 triangle array on device (cached)."""
         if self._tris_device is None or self._tris_device.shape[0] != len(self.mesh.faces):
             self._tris_device = jnp.asarray(self.mesh.triangles.astype(np.float32))
+            self._grid_accel = None
         return self._tris_device
+
+    @property
+    def grid_accel(self):
+        """Uniform-grid acceleration structure for large scanned meshes.
+
+        Built once per mesh above config.GRID_ACCEL_MIN_FACES faces (the regime
+        the dense kernels stop being viable in); None for small meshes, where
+        the Pallas dense kernels win. Rebuilt if the face count changes.
+        """
+        if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES:
+            return None
+        if getattr(self, "_grid_accel", None) is None:
+            from audiblelight_tpu.geometry.grid import build_grid
+
+            self._grid_accel = build_grid(self.mesh.triangles.astype(np.float32))
+            logger.info(f"Built ray-acceleration structure: {self._grid_accel}")
+        return self._grid_accel
 
     @property
     def face_props_device(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -508,6 +526,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 occlusion=not self.mesh.is_convex,
                 face_transmission=face_tau,
                 transmission=bool(self.cfg.transmission),
+                accel=self.grid_accel,
             )
             arr = np.asarray(irs)
             mic.irs = arr

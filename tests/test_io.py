@@ -66,11 +66,16 @@ def test_valid_audio():
         valid_audio(np.zeros(10, dtype=np.int16))
 
 
-def test_get_duration_rejects_non_wav(tmp_path):
-    p = tmp_path / "x.mp3"
+def test_get_duration_rejects_unknown_format(tmp_path):
+    # mp3/flac now decode (io.codecs); formats with no decoder still raise
+    p = tmp_path / "x.ogg"
     p.write_bytes(b"not audio")
     with pytest.raises(ValueError):
         get_duration(p)
+    bad_mp3 = tmp_path / "x.mp3"
+    bad_mp3.write_bytes(b"not audio")
+    with pytest.raises((ValueError, RuntimeError)):
+        get_duration(bad_mp3)
 
 
 # ---------------------------------------------------------------------------
