@@ -206,7 +206,7 @@ def segments_occluded(
 
         return grid_segments_occluded(accel, jnp.atleast_2d(starts), jnp.atleast_2d(ends))
 
-    if getattr(_config, "USE_PALLAS_RAYCAST", True) and tris.shape[0] <= 16384:
+    if getattr(_config, "USE_PALLAS_RAYCAST", True):
         from audiblelight_tpu.ops.pallas_kernels import (
             pallas_supported,
             segments_occluded_pallas,
@@ -275,7 +275,7 @@ def ray_mesh_first_hit(
 
         return grid_first_hit(accel, jnp.atleast_2d(origins), jnp.atleast_2d(dirs))
 
-    if getattr(_config, "USE_PALLAS_RAYCAST", True) and tris.shape[0] <= 16384:
+    if getattr(_config, "USE_PALLAS_RAYCAST", True):
         from audiblelight_tpu.ops.pallas_kernels import (
             pallas_supported,
             ray_first_hit_pallas,

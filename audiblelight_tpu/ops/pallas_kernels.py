@@ -39,6 +39,7 @@ _BIG = 3.0e38
 
 BIG_LANES = 4096  # rays per grid step in the big-mesh kernel (lanes axis)
 FACE_GROUP = 8  # faces per sublane group
+FACE_TILE = 16384  # faces per VMEM-resident tile; larger meshes scan over tiles
 
 
 def _first_hit_big_kernel(
@@ -232,28 +233,57 @@ def ray_first_hit_pallas(
         ],
         axis=1,
     )  # (F, 9); padded faces are degenerate (zero edges) -> never hit
-    face_tab = jnp.pad(face_tab, ((0, f_pad - f), (0, 0)))
 
     ray_comp = lambda x, i: x[:, i].reshape(1, -1)  # (1, r_pad) rows
     grid = (r_pad // BIG_LANES,)
     ray_spec = pl.BlockSpec((1, BIG_LANES), lambda g: (0, g), memory_space=pltpu.VMEM)
-    face_spec = pl.BlockSpec((f_pad, 9), lambda g: (0, 0), memory_space=pltpu.VMEM)
-
-    t, idx = pl.pallas_call(
-        _first_hit_big_kernel,
-        grid=grid,
-        in_specs=[ray_spec] * 6 + [face_spec],
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
-        ),
-        interpret=interpret,
-    )(
+    rays = (
         ray_comp(o, 0), ray_comp(o, 1), ray_comp(o, 2),
         ray_comp(d, 0), ray_comp(d, 1), ray_comp(d, 2),
-        face_tab,
     )
+
+    def call_tile(tile_tab):
+        tile_f = tile_tab.shape[0]
+        face_spec = pl.BlockSpec((tile_f, 9), lambda g: (0, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _first_hit_big_kernel,
+            grid=grid,
+            in_specs=[ray_spec] * 6 + [face_spec],
+            out_specs=(ray_spec, ray_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
+            ),
+            interpret=interpret,
+        )(*rays, tile_tab)
+
+    if f_pad <= FACE_TILE:
+        t, idx = call_tile(jnp.pad(face_tab, ((0, f_pad - f), (0, 0))))
+    else:
+        # Meshes past one VMEM tile (scanned rooms): stream FACE_TILE-face
+        # chunks through the same kernel and fold with a min/first-tie combine.
+        # O(R*F) total like the single-tile case — the ascending tile order
+        # preserves the smallest-face-index tie rule.
+        n_tiles = -(-f // FACE_TILE)
+        face_tab = jnp.pad(face_tab, ((0, n_tiles * FACE_TILE - f), (0, 0)))
+        tiles = face_tab.reshape(n_tiles, FACE_TILE, 9)
+
+        def body(carry, tile_tab):
+            best_t, best_i, off = carry
+            t_c, i_c = call_tile(tile_tab)
+            i_c = i_c + off  # local -> global face index (misses stay masked below)
+            better = t_c < best_t
+            tie = (t_c == best_t) & (i_c < best_i) & (t_c < _BIG)
+            best_t = jnp.where(better, t_c, best_t)
+            best_i = jnp.where(better | tie, i_c, best_i)
+            return (best_t, best_i, off + FACE_TILE), None
+
+        init = (
+            jnp.full((1, r_pad), _BIG, jnp.float32),
+            jnp.full((1, r_pad), jnp.int32(2**30)),
+            jnp.asarray(0, jnp.int32),
+        )
+        (t, idx, _), _ = jax.lax.scan(body, init, tiles)
 
     t = t.reshape(-1)[:r]
     idx = idx.reshape(-1)[:r]
@@ -405,25 +435,39 @@ def segments_occluded_pallas(
         ],
         axis=1,
     )
-    face_tab = jnp.pad(face_tab, ((0, f_pad - f), (0, 0)))
-
     ray_comp = lambda x, i: x[:, i].reshape(1, -1)
     grid = (r_pad // BIG_LANES,)
     ray_spec = pl.BlockSpec((1, BIG_LANES), lambda g: (0, g), memory_space=pltpu.VMEM)
-    face_spec = pl.BlockSpec((f_pad, 9), lambda g: (0, 0), memory_space=pltpu.VMEM)
-
-    occ = pl.pallas_call(
-        _any_hit_kernel,
-        grid=grid,
-        in_specs=[ray_spec] * 6 + [ray_spec, face_spec],
-        out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
-        interpret=interpret,
-    )(
+    rays = (
         ray_comp(o, 0), ray_comp(o, 1), ray_comp(o, 2),
         ray_comp(d, 0), ray_comp(d, 1), ray_comp(d, 2), ln,
-        face_tab,
     )
+
+    def call_tile(tile_tab):
+        tile_f = tile_tab.shape[0]
+        face_spec = pl.BlockSpec((tile_f, 9), lambda g: (0, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _any_hit_kernel,
+            grid=grid,
+            in_specs=[ray_spec] * 6 + [ray_spec, face_spec],
+            out_specs=ray_spec,
+            out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
+            interpret=interpret,
+        )(*rays, tile_tab)
+
+    if f_pad <= FACE_TILE:
+        occ = call_tile(jnp.pad(face_tab, ((0, f_pad - f), (0, 0))))
+    else:
+        # Stream VMEM-sized face tiles (scanned meshes); OR-fold the per-tile
+        # blocked flags.
+        n_tiles = -(-f // FACE_TILE)
+        face_tab = jnp.pad(face_tab, ((0, n_tiles * FACE_TILE - f), (0, 0)))
+        tiles = face_tab.reshape(n_tiles, FACE_TILE, 9)
+
+        def body(blocked, tile_tab):
+            return jnp.maximum(blocked, call_tile(tile_tab)), None
+
+        occ, _ = jax.lax.scan(body, jnp.zeros((1, r_pad), jnp.int32), tiles)
     return occ.reshape(-1)[:r].astype(bool)
 
 

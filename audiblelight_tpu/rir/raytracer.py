@@ -76,7 +76,7 @@ def _cosine_hemisphere(key, normals: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion", "transmission"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion", "transmission", "shared_visibility"),
 )
 def trace_energy_histogram(
     key: jax.Array,
@@ -96,6 +96,7 @@ def trace_energy_histogram(
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
     transmission: bool = False,
+    shared_visibility: bool = True,
     accel=None,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
@@ -118,6 +119,13 @@ def trace_energy_histogram(
             reference rlr config's `transmission` field (reference
             tests/test_worldstate_rlr.py:810-835). With `transmission=False`
             results are bit-identical to builds without this feature.
+        shared_visibility: for multi-capsule arrays (cl > 1), test diffuse-rain
+            visibility once per hit point against the ARRAY CENTROID instead of
+            per capsule — a cl-fold cut of the tracer's dominant cost on
+            nonconvex meshes. Capsule spacing (centimetres) is far below scene
+            scale, so per-capsule visibility differs only for blockers grazing
+            the array itself; set False for exact per-capsule queries (the
+            reference rlr engine's per-listener behaviour).
 
     Returns:
         (C_out, B, n_bins) histogram. For "omni", entries are pressure^2 energies.
@@ -190,7 +198,15 @@ def trace_energy_histogram(
         cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
 
         # Visibility: offset start off the surface to dodge self-intersection
-        if occlusion:
+        if occlusion and shared_visibility and cl > 1:
+            center = jnp.mean(listener_pos, axis=0)
+            occ1 = segments_occluded(
+                hit + 1e-4 * normal,
+                jnp.broadcast_to(center, (n_rays, 3)),
+                tris, face_chunk, accel=accel,
+            )
+            occ = jnp.broadcast_to(occ1[None], (cl, n_rays))
+        elif occlusion:
             starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, n_rays, 3)).reshape(-1, 3)
             ends = jnp.repeat(listener_pos, n_rays, axis=0)
             occ = segments_occluded(starts, ends, tris, face_chunk, accel=accel).reshape(cl, n_rays)
@@ -430,6 +446,7 @@ def trace_rirs(
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
     transmission: bool = False,
+    shared_visibility: bool = True,
     accel=None,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
@@ -456,6 +473,7 @@ def trace_rirs(
         tri_normals=tri_normals,
         face_transmission=face_transmission,
         transmission=transmission,
+        shared_visibility=shared_visibility,
         accel=accel,
     )
     band_freqs = jnp.asarray(
@@ -475,7 +493,7 @@ def trace_rirs(
 
 @partial(
     jax.jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "n_sources", "occlusion", "transmission"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "n_sources", "occlusion", "transmission", "shared_visibility"),
 )
 def trace_energy_histogram_multi(
     key: jax.Array,
@@ -496,6 +514,7 @@ def trace_energy_histogram_multi(
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
     transmission: bool = False,
+    shared_visibility: bool = True,
     accel=None,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
@@ -560,7 +579,17 @@ def trace_energy_histogram_multi(
         else:
             e_refl = e_nonabs
 
-        if occlusion:
+        if occlusion and shared_visibility and cl > 1:
+            # One visibility query per hit point against the array centroid
+            # (see trace_energy_histogram's shared_visibility doc).
+            center = jnp.mean(listener_pos, axis=0)
+            occ1 = segments_occluded(
+                hit + 1e-4 * normal,
+                jnp.broadcast_to(center, (total_rays, 3)),
+                tris, face_chunk, accel=accel,
+            )
+            occ = jnp.broadcast_to(occ1[None], (cl, total_rays))
+        elif occlusion:
             starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, total_rays, 3)).reshape(-1, 3)
             ends = jnp.repeat(listener_pos, total_rays, axis=0)
             occ = segments_occluded(starts, ends, tris, face_chunk, accel=accel).reshape(cl, total_rays)
@@ -685,6 +714,7 @@ def trace_rirs_multi(
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
     transmission: bool = False,
+    shared_visibility: bool = True,
     accel=None,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
@@ -715,6 +745,7 @@ def trace_rirs_multi(
         tri_normals=tri_normals,
         face_transmission=face_transmission,
         transmission=transmission,
+        shared_visibility=shared_visibility,
         accel=accel,
     )  # (E, C_out, B, bins)
 

@@ -61,6 +61,11 @@ _ENGINE_FIELD_DEFAULTS = {
     "temporal_coherence": False,
     "dmin": 1.0,
     "hist_bin_dt": 0.002,
+    # TPU-specific: one diffuse-rain visibility query per hit point against the
+    # array centroid instead of per capsule (see rir.raytracer
+    # trace_energy_histogram's shared_visibility doc). False = exact
+    # per-capsule queries, the reference rlr per-listener behaviour.
+    "shared_visibility": True,
 }
 
 
@@ -526,7 +531,15 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 occlusion=not self.mesh.is_convex,
                 face_transmission=face_tau,
                 transmission=bool(self.cfg.transmission),
-                accel=self.grid_accel,
+                shared_visibility=bool(self.cfg.shared_visibility),
+                # Bounce-loop queries run the dense streamed Pallas kernels at
+                # any face count: rays leaving SURFACES graze face-dense cells,
+                # where the uniform-grid DDA degenerates to hundreds of
+                # lockstep scattered-gather steps (~7-10x slower measured on a
+                # 110k-face scanned room). The grid accelerates the
+                # interior-origin regime instead: placement queries and
+                # create_scene raycasts.
+                accel=None,
             )
             arr = np.asarray(irs)
             mic.irs = arr
