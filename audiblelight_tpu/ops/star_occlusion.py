@@ -1,0 +1,394 @@
+"""Azimuth-culled segment occlusion for star topologies (Pallas TPU).
+
+The scanned-mesh tracer's dominant cost is per-bounce visibility: R surface hit
+points tested against ONE listener point (the array centroid, or each capsule).
+Those segments form a star — every segment ends near a common centre c0 — which
+admits a cull no general any-hit query has: a face can only block a segment
+whose azimuth (of the surface point, seen from c0) falls inside the face's own
+azimuth window around c0.
+
+Correctness of the cull is a purely 2D argument. Project to the xy-plane. Any
+blocker q on the segment capsule->p lies within distance r = |capsule - c0| of
+the 2D line through c0 and p (the distance grows linearly from 0 at p to <= r
+at the capsule), so sin(az(q) - az(p)) <= r / rho(q) where rho is xy-distance
+from c0. A face f whose nearest xy-point to c0 is rho_min(f):
+
+- rho_min(f) <  RHO0:  WIDE bucket — always tested, no window. This also covers
+  faces over/under the array (xy-projection near or containing c0, where az is
+  unstable) and catches every blocker of near-vertical segments (any q on such
+  a segment has rho(q) < RHO0, so its face is wide).
+- rho_min(f) >= RHO0:  NARROW — az window = circular hull of its vertex
+  azimuths, padded by asin(r / rho_min(f)). By the bound above the window
+  contains az(p) for every segment it can block.
+
+Narrow faces are sorted by window centre and tiled; rays are sorted by az(p) on
+device so each ray block spans a contiguous az range, and the kernel skips
+whole (ray block x face tile) pairs whose circular intervals miss — typically
+90-95 % of the dense work. Results are EXACTLY those of the dense kernels
+(geometry.queries.segments_occluded): same Moller-Trumbore arithmetic, same
+endpoint margins; culling is conservative by construction.
+
+This replaces the role of the reference rlr engine's C++ BVH shadow rays
+(reference worldstate.py:2148-2181) with a formulation whose inner loop is
+dense (8, LANES) VPU tiles — the shape the TPU wants — instead of per-ray
+pointer chasing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-9
+_MARGIN = 1e-4  # endpoint slack; matches geometry.queries.segments_occluded
+
+STAR_LANES = 512  # rays per grid step (az-contiguous after the device sort)
+FACE_GROUP = 8  # faces per (8, LANES) sublane group
+TILE_FACES = 256  # narrow faces per cullable tile
+RHO0 = 0.2  # [m] min xy-distance for the narrow bucket
+WIDE_FRACTION_MAX = 0.35  # above this the star layout stops paying for itself
+
+
+@dataclass
+class StarAccel:
+    """Listener-centred occlusion layout. Arrays live on device; the static
+    tile/face counts key the jit cache per (mesh, centre)."""
+
+    narrow_tab: jnp.ndarray  # (n_tiles*TILE_FACES, 9) az-sorted face rows
+    tile_meta: jnp.ndarray  # (2, n_tiles) [window centre az; padded half-width]
+    wide_tab: jnp.ndarray  # (F_wide_pad, 9) always-tested face rows
+    center: jnp.ndarray  # (3,) the star centre c0 used at build time
+    n_tiles: int
+    n_wide: int
+    r_pad: float  # max |segment end - center| the windows stay valid for
+
+    def __repr__(self):
+        return (
+            f"StarAccel(tiles={self.n_tiles}, narrow={self.narrow_tab.shape[0]}, "
+            f"wide={self.n_wide}, r_pad={self.r_pad})"
+        )
+
+
+jax.tree_util.register_pytree_node(
+    StarAccel,
+    lambda s: (
+        (s.narrow_tab, s.tile_meta, s.wide_tab, s.center),
+        (s.n_tiles, s.n_wide, s.r_pad),
+    ),
+    lambda aux, leaves: StarAccel(*leaves, *aux),
+)
+
+
+def _face_rows(tris: np.ndarray) -> np.ndarray:
+    """(F, 9) [a, e1, e2] rows; the layout every raycast kernel shares."""
+    a = tris[:, 0]
+    return np.concatenate([a, tris[:, 1] - a, tris[:, 2] - a], axis=1).astype(
+        np.float32
+    )
+
+
+def _point_seg_dist2d(p, a, b):
+    """Distance from 2D point p to segment ab; all inputs (..., 2)."""
+    ab = b - a
+    t = np.clip(
+        np.sum((p - a) * ab, axis=-1) / np.maximum(np.sum(ab * ab, axis=-1), 1e-20),
+        0.0,
+        1.0,
+    )
+    proj = a + t[..., None] * ab
+    return np.linalg.norm(p - proj, axis=-1)
+
+
+def build_star_accel(
+    tris: np.ndarray, center: np.ndarray, r_pad: float = 0.02
+) -> StarAccel | None:
+    """Host build (numpy, once per mesh x listener centre).
+
+    Returns None when the layout would not pay (too many wide faces) — callers
+    fall back to the dense kernels.
+    """
+    tris = np.asarray(tris, dtype=np.float32)
+    center = np.asarray(center, dtype=np.float32)
+
+    finite = np.all(np.abs(tris) < 1.0e8, axis=(1, 2))
+    area = np.linalg.norm(
+        np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]), axis=-1
+    )
+    valid = finite & (area > 0)
+    vt = tris[valid]
+    if len(vt) == 0:
+        return None
+
+    # Min xy-distance from c0 to each face's xy-triangle (0 if it contains c0)
+    c2 = center[:2]
+    v2 = vt[..., :2]  # (F, 3, 2)
+    d01 = _point_seg_dist2d(c2, v2[:, 0], v2[:, 1])
+    d12 = _point_seg_dist2d(c2, v2[:, 1], v2[:, 2])
+    d20 = _point_seg_dist2d(c2, v2[:, 2], v2[:, 0])
+    edge_d = np.minimum(np.minimum(d01, d12), d20)
+    # Inside test via signed areas (c0 interior to the xy-triangle -> dist 0)
+    def _cross(o, a, b):
+        return (a[:, 0] - o[0]) * (b[:, 1] - o[1]) - (a[:, 1] - o[1]) * (b[:, 0] - o[0])
+
+    s0 = _cross(c2, v2[:, 0], v2[:, 1])
+    s1 = _cross(c2, v2[:, 1], v2[:, 2])
+    s2 = _cross(c2, v2[:, 2], v2[:, 0])
+    inside = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | ((s0 <= 0) & (s1 <= 0) & (s2 <= 0))
+    rho_min = np.where(inside, 0.0, edge_d)
+
+    rho_lim = max(RHO0, 3.0 * r_pad)
+    narrow = rho_min >= rho_lim
+    n_wide = int(np.sum(~narrow))
+    if n_wide > WIDE_FRACTION_MAX * len(vt):
+        return None
+
+    rows = _face_rows(vt)
+    wide_rows = rows[~narrow]
+
+    nf = vt[narrow]
+    n_rows = rows[narrow]
+    n_rho = rho_min[narrow]
+
+    # Narrow az windows: circular hull of the 3 vertex azimuths + parallax pad.
+    az = np.arctan2(nf[..., 1] - center[1], nf[..., 0] - center[0])  # (Fn, 3)
+    azs = np.sort(az, axis=1)
+    gaps = np.stack(
+        [azs[:, 1] - azs[:, 0], azs[:, 2] - azs[:, 1], 2 * np.pi - (azs[:, 2] - azs[:, 0])],
+        axis=1,
+    )
+    big = np.argmax(gaps, axis=1)
+    span = 2 * np.pi - gaps[np.arange(len(nf)), big]
+    # Window centre: middle of the minor arc (start just after the largest gap)
+    start = np.where(big == 0, azs[:, 1], np.where(big == 1, azs[:, 2], azs[:, 0]))
+    cen = start + span / 2.0
+    cen = np.mod(cen + np.pi, 2 * np.pi) - np.pi
+    pad = np.arcsin(np.clip(r_pad / n_rho, 0.0, 1.0))
+    half = span / 2.0 + pad
+
+    order = np.argsort(cen, kind="stable")
+    n_rows = n_rows[order]
+    cen = cen[order]
+    half = half[order]
+
+    n_narrow = len(n_rows)
+    n_tiles = max(1, -(-n_narrow // TILE_FACES))
+    pad_n = n_tiles * TILE_FACES - n_narrow
+    n_rows = np.concatenate([n_rows, np.zeros((pad_n, 9), np.float32)], axis=0)
+
+    # Per-tile circular hull of member windows. Tiles are az-sorted, so the
+    # members span a contiguous arc; the hull follows from min/max of the
+    # unwrapped centres (unwrap relative to the tile's first member).
+    tc = np.empty(n_tiles, np.float32)
+    th = np.empty(n_tiles, np.float32)
+    for i in range(n_tiles):
+        c = cen[i * TILE_FACES : (i + 1) * TILE_FACES]
+        h = half[i * TILE_FACES : (i + 1) * TILE_FACES]
+        rel = np.mod(c - c[0] + np.pi, 2 * np.pi) - np.pi
+        lo = np.min(rel - h)
+        hi = np.max(rel + h)
+        tc[i] = np.mod(c[0] + (lo + hi) / 2.0 + np.pi, 2 * np.pi) - np.pi
+        th[i] = (hi - lo) / 2.0
+
+    f_wide_pad = max(FACE_GROUP, -(-max(n_wide, 1) // FACE_GROUP) * FACE_GROUP)
+    wide_rows = np.concatenate(
+        [wide_rows, np.zeros((f_wide_pad - n_wide, 9), np.float32)], axis=0
+    )
+
+    return StarAccel(
+        narrow_tab=jnp.asarray(n_rows),
+        tile_meta=jnp.asarray(np.stack([tc, th]).astype(np.float32)),
+        wide_tab=jnp.asarray(wide_rows),
+        center=jnp.asarray(center),
+        n_tiles=n_tiles,
+        n_wide=int(n_wide),
+        r_pad=float(r_pad),
+    )
+
+
+def _mt_window_hit(ox, oy, oz, dx, dy, dz, seg_len, face_ref, rows):
+    """(8, L) Moller-Trumbore window test for one face group; identical
+    arithmetic to ops.pallas_kernels._any_hit_kernel."""
+    ax = face_ref[rows, 0:1]
+    ay = face_ref[rows, 1:2]
+    az = face_ref[rows, 2:3]
+    e1x = face_ref[rows, 3:4]
+    e1y = face_ref[rows, 4:5]
+    e1z = face_ref[rows, 5:6]
+    e2x = face_ref[rows, 6:7]
+    e2y = face_ref[rows, 7:8]
+    e2z = face_ref[rows, 8:9]
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    valid_a = jnp.abs(a) > _EPS
+    f = 1.0 / jnp.where(valid_a, a, 1.0)
+
+    sx = ox - ax
+    sy = oy - ay
+    sz = oz - az
+    u = f * (sx * hx + sy * hy + sz * hz)
+
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+    return (
+        valid_a
+        & (u >= -_EPS)
+        & (u <= 1.0 + _EPS)
+        & (v >= -_EPS)
+        & (u + v <= 1.0 + _EPS)
+        & (t > _MARGIN)
+        & (t < seg_len - _MARGIN)
+    )
+
+
+def _star_kernel(
+    n_tiles,
+    n_wide_groups,
+    meta_ref,  # SMEM (2, n_tiles)
+    brange_ref,  # SMEM (2, n_blocks) [az lo; az hi] per ray block
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, len_ref,  # (1, L) rows
+    narrow_ref,  # (n_tiles*TILE_FACES, 9) VMEM
+    wide_ref,  # (F_wide_pad, 9) VMEM
+    occ_out_ref,
+):
+    g = pl.program_id(0)
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    seg_len = len_ref[:]
+
+    b_lo = brange_ref[0, g]
+    b_hi = brange_ref[1, g]
+    b_cen = (b_lo + b_hi) * 0.5
+    b_half = (b_hi - b_lo) * 0.5
+
+    two_pi = 2.0 * np.pi
+
+    def tile(tl, blocked):
+        t_cen = meta_ref[0, tl]
+        t_half = meta_ref[1, tl]
+        # Circular interval overlap: wrap the centre difference into [-pi, pi)
+        d = t_cen - b_cen
+        d = d - two_pi * jnp.floor(d / two_pi + 0.5)
+        overlap = jnp.abs(d) <= t_half + b_half
+
+        def body(blocked):
+            def group(i, blk):
+                rows = pl.ds(tl * TILE_FACES + i * FACE_GROUP, FACE_GROUP)
+                hit = _mt_window_hit(ox, oy, oz, dx, dy, dz, seg_len, narrow_ref, rows)
+                return jnp.maximum(blk, jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True))
+
+            return jax.lax.fori_loop(0, TILE_FACES // FACE_GROUP, group, blocked)
+
+        return jax.lax.cond(overlap, body, lambda b: b, blocked)
+
+    blocked = jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((1, STAR_LANES), jnp.int32))
+
+    def wide_group(i, blk):
+        rows = pl.ds(i * FACE_GROUP, FACE_GROUP)
+        hit = _mt_window_hit(ox, oy, oz, dx, dy, dz, seg_len, wide_ref, rows)
+        return jnp.maximum(blk, jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True))
+
+    blocked = jax.lax.fori_loop(0, n_wide_groups, wide_group, blocked)
+    occ_out_ref[:] = blocked
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "interpret"))
+def _star_call(
+    narrow_tab, tile_meta, wide_tab, n_tiles,
+    o, d, length, brange, interpret=False,
+):
+    r_pad_rays = o.shape[0]
+    n_blocks = r_pad_rays // STAR_LANES
+    n_wide_groups = wide_tab.shape[0] // FACE_GROUP
+
+    comp = lambda x, i: x[:, i].reshape(1, -1)
+    ray_spec = pl.BlockSpec((1, STAR_LANES), lambda g: (0, g), memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        partial(_star_kernel, n_tiles, n_wide_groups),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # block az ranges
+        ]
+        + [ray_spec] * 7
+        + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((1, r_pad_rays), jnp.int32),
+        interpret=interpret,
+    )(
+        tile_meta, brange,
+        comp(o, 0), comp(o, 1), comp(o, 2),
+        comp(d, 0), comp(d, 1), comp(d, 2),
+        length.reshape(1, -1),
+        narrow_tab, wide_tab,
+    )
+    return occ
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def star_segments_occluded(
+    accel: StarAccel, starts: jnp.ndarray, end: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """(R,) bools: open segment starts[i] -> end blocked by the mesh.
+
+    `end` (3,) must lie within accel.r_pad of accel.center (the tracer passes
+    the array centroid or a capsule). Exactly matches
+    geometry.queries.segments_occluded on the same inputs.
+    """
+    starts = jnp.atleast_2d(starts).astype(jnp.float32)
+    r = starts.shape[0]
+    end = end.astype(jnp.float32)
+
+    # Sort rays by the surface point's azimuth about the star centre so each
+    # kernel block covers a contiguous az range. One packed row-gather applies
+    # the permutation (per-column gathers would pay the per-index cost 7x).
+    az = jnp.arctan2(starts[:, 1] - accel.center[1], starts[:, 0] - accel.center[0])
+    order = jnp.argsort(az)
+    seg = jnp.broadcast_to(end, (r, 3)) - starts
+    length = jnp.linalg.norm(seg, axis=-1)
+    dirs = seg / jnp.maximum(length, _EPS)[:, None]
+    packed = jnp.concatenate([starts, dirs, length[:, None], az[:, None]], axis=1)
+    packed = packed[order]  # (R, 8) single gather
+
+    r_pad_rays = max(STAR_LANES, -(-r // STAR_LANES) * STAR_LANES)
+    # Pad with repeats of the last row: zero-length segments whose az extends
+    # the final block's range harmlessly.
+    pad_rows = jnp.broadcast_to(packed[-1:], (r_pad_rays - r, 8))
+    pad_rows = pad_rows.at[:, 6].set(0.0)  # length 0 -> empty window
+    packed = jnp.concatenate([packed, pad_rows], axis=0)
+
+    o = packed[:, 0:3]
+    d = packed[:, 3:6]
+    length_s = packed[:, 6]
+    az_s = packed[:, 7]
+
+    az_blocks = az_s.reshape(-1, STAR_LANES)
+    brange = jnp.stack([az_blocks.min(axis=1), az_blocks.max(axis=1)])  # (2, B)
+
+    occ = _star_call(
+        accel.narrow_tab, accel.tile_meta, accel.wide_tab, accel.n_tiles,
+        o, d, length_s, brange, interpret=interpret,
+    )
+    occ = occ.reshape(-1)[:r].astype(bool)
+    # Undo the sort
+    out = jnp.zeros(r, dtype=bool).at[order].set(occ)
+    return out
+
+
+__all__ = ["StarAccel", "build_star_accel", "star_segments_occluded"]

@@ -33,6 +33,7 @@ import numpy as np
 
 from audiblelight_tpu import config
 from audiblelight_tpu.geometry.queries import ray_mesh_first_hit, segments_occluded
+from audiblelight_tpu.ops.star_occlusion import star_segments_occluded
 from audiblelight_tpu.ops.pallas_kernels import bin_histogram, deposit_histogram_pallas, pallas_supported
 from audiblelight_tpu.rir.sh import binaural_encoding_gains, foa_encoding_gains
 
@@ -98,6 +99,7 @@ def trace_energy_histogram(
     transmission: bool = False,
     shared_visibility: bool = True,
     accel=None,
+    star=None,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -198,7 +200,17 @@ def trace_energy_histogram(
         cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
 
         # Visibility: offset start off the surface to dodge self-intersection
-        if occlusion and shared_visibility and cl > 1:
+        if occlusion and star is not None and shared_visibility:
+            # Azimuth-culled star kernel against the array centroid
+            occ1 = star_segments_occluded(star, hit + 1e-4 * normal, jnp.mean(listener_pos, axis=0))
+            occ = jnp.broadcast_to(occ1[None], (cl, n_rays))
+        elif occlusion and star is not None:
+            # Exact per-capsule star queries (capsules lie within star.r_pad)
+            occ = jnp.stack([
+                star_segments_occluded(star, hit + 1e-4 * normal, listener_pos[i])
+                for i in range(cl)
+            ])
+        elif occlusion and shared_visibility and cl > 1:
             center = jnp.mean(listener_pos, axis=0)
             occ1 = segments_occluded(
                 hit + 1e-4 * normal,
@@ -448,6 +460,7 @@ def trace_rirs(
     transmission: bool = False,
     shared_visibility: bool = True,
     accel=None,
+    star=None,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
 
@@ -475,6 +488,7 @@ def trace_rirs(
         transmission=transmission,
         shared_visibility=shared_visibility,
         accel=accel,
+        star=star,
     )
     band_freqs = jnp.asarray(
         np.geomspace(125.0, 8000.0, face_absorption.shape[1])
@@ -516,6 +530,7 @@ def trace_energy_histogram_multi(
     transmission: bool = False,
     shared_visibility: bool = True,
     accel=None,
+    star=None,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
 
@@ -579,7 +594,15 @@ def trace_energy_histogram_multi(
         else:
             e_refl = e_nonabs
 
-        if occlusion and shared_visibility and cl > 1:
+        if occlusion and star is not None and shared_visibility:
+            occ1 = star_segments_occluded(star, hit + 1e-4 * normal, jnp.mean(listener_pos, axis=0))
+            occ = jnp.broadcast_to(occ1[None], (cl, total_rays))
+        elif occlusion and star is not None:
+            occ = jnp.stack([
+                star_segments_occluded(star, hit + 1e-4 * normal, listener_pos[i])
+                for i in range(cl)
+            ])
+        elif occlusion and shared_visibility and cl > 1:
             # One visibility query per hit point against the array centroid
             # (see trace_energy_histogram's shared_visibility doc).
             center = jnp.mean(listener_pos, axis=0)
@@ -716,6 +739,7 @@ def trace_rirs_multi(
     transmission: bool = False,
     shared_visibility: bool = True,
     accel=None,
+    star=None,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
@@ -747,6 +771,7 @@ def trace_rirs_multi(
         transmission=transmission,
         shared_visibility=shared_visibility,
         accel=accel,
+        star=star,
     )  # (E, C_out, B, bins)
 
     band_freqs = jnp.asarray(

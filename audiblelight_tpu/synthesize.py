@@ -547,11 +547,13 @@ def generate_scene_video_from_events(
     """Render an equirectangular animation of the scene's events.
 
     The reference renders textured VTK panoramas to mp4 (synthesize.py:881-1283,
-    optional VTK/PyVista/OpenCV dependencies). This implementation keeps the
-    capability with stdlib-friendly pieces: events are projected into
-    equirectangular (azimuth x elevation) coordinates per frame, drawn with
-    their images (when available) or markers, and written as an animated GIF via
-    PIL. Only mesh-backed (RLR) scenes are supported, as in the reference.
+    optional VTK/PyVista/OpenCV dependencies). Here the background panorama is
+    raycast from the scene's OWN mesh with the framework's first-hit kernels
+    (viz.render_equirect_panorama) — the room's actual scanned structure, not a
+    flat fill — then events are projected into the same equirectangular
+    (azimuth x elevation) coordinates per frame and drawn with their images
+    (when available) or markers. Output: MJPEG-AVI + GIF. Only mesh-backed
+    (RLR) scenes are supported, as in the reference.
     """
     if scene.state.name.upper() != "RLR":
         raise ValueError("Video generation is only supported for the RLR (mesh) backend")
@@ -563,10 +565,26 @@ def generate_scene_video_from_events(
 
     mic_alias = list(scene.state.microphones.keys())[0]
 
+    # Static camera at the mic: render the room panorama once, reuse per frame.
+    try:
+        from audiblelight_tpu.viz import render_equirect_panorama
+
+        mic = scene.state.microphones[mic_alias]
+        cam = np.atleast_2d(np.asarray(mic.coordinates_absolute)).mean(axis=0)
+        background = Image.fromarray(
+            render_equirect_panorama(
+                scene.state.mesh.triangles, cam, width, height,
+                accel=getattr(scene.state, "grid_accel", None),
+            )
+        )
+    except Exception as exc:  # never let the overlay die on a render failure
+        logger.warning(f"Mesh panorama render failed ({exc}); flat background")
+        background = Image.new("RGB", (width, height), (20, 20, 30))
+
     frames_out = []
     for frame_idx in range(n_frames):
         t = frame_idx / fps
-        img = Image.new("RGB", (width, height), (20, 20, 30))
+        img = background.copy()
         draw = ImageDraw.Draw(img)
         for event in scene.get_events():
             if not (event.scene_start <= t <= event.scene_end):

@@ -250,6 +250,28 @@ class WorldStateRLR(PlacementMixin, WorldState):
             logger.info(f"Built ray-acceleration structure: {self._grid_accel}")
         return self._grid_accel
 
+    def star_accel_for(self, center: np.ndarray, r_pad: float):
+        """Azimuth-culled occlusion layout for one listener centre (cached).
+
+        Only pays on large nonconvex meshes (the scanned-room regime); None
+        otherwise, and callers fall back to the dense kernels.
+        """
+        if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES or self.mesh.is_convex:
+            return None
+        key = (tuple(np.round(np.asarray(center, float), 4)), round(float(r_pad), 4))
+        cache = getattr(self, "_star_accels", None)
+        if cache is None:
+            cache = self._star_accels = {}
+        if key not in cache:
+            from audiblelight_tpu.ops.star_occlusion import build_star_accel
+
+            cache[key] = build_star_accel(
+                self.mesh.triangles.astype(np.float32), np.asarray(center), r_pad
+            )
+            if cache[key] is not None:
+                logger.info(f"Built occlusion structure: {cache[key]}")
+        return cache[key]
+
     @property
     def face_props_device(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Per-face (absorption (F, B), scattering (F,), transmission (F, B))
@@ -511,6 +533,17 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 )
                 encoding = "foa" if mic.channel_layout_type == "foa" else "binaural"
 
+            # Star-occlusion layout centred on this mic (scanned rooms only)
+            caps = np.atleast_2d(np.asarray(
+                utils.coerce2d(mic.coordinates_absolute), dtype=np.float64
+            ))
+            center = caps.mean(axis=0)
+            if bool(self.cfg.shared_visibility):
+                star = self.star_accel_for(center, r_pad=0.02)
+            else:
+                r_pad = float(np.linalg.norm(caps - center, axis=1).max()) + 0.02
+                star = self.star_accel_for(center, r_pad=r_pad)
+
             self._key, sub = jax.random.split(self._key)
             irs = trace_rirs_multi(
                 sub,
@@ -532,6 +565,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 face_transmission=face_tau,
                 transmission=bool(self.cfg.transmission),
                 shared_visibility=bool(self.cfg.shared_visibility),
+                star=star,
                 # Bounce-loop queries run the dense streamed Pallas kernels at
                 # any face count: rays leaving SURFACES graze face-dense cells,
                 # where the uniform-grid DDA degenerates to hundreds of
