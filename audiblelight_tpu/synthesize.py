@@ -620,11 +620,13 @@ def generate_scene_video_from_events(
     from pathlib import Path
 
     from audiblelight_tpu.io.avi import write_mjpeg_avi
+    from audiblelight_tpu.io.mp4 import write_mjpeg_mp4
 
-    # Primary output: MJPEG AVI (the dependency-free stand-in for the
-    # reference's OpenCV mp4, reference synthesize.py:1202-1280); a GIF is
-    # written alongside for inline previews.
-    out = write_mjpeg_avi(Path(video_path).with_suffix(".avi"), frames_out, fps)
+    # Primary output: MJPEG in an MP4 container (matching the reference's mp4
+    # output, reference synthesize.py:1202-1280, via our own ISO-BMFF muxer);
+    # an MJPEG AVI and a GIF are written alongside for maximum player reach.
+    out = write_mjpeg_mp4(Path(video_path).with_suffix(".mp4"), frames_out, fps)
+    write_mjpeg_avi(Path(video_path).with_suffix(".avi"), frames_out, fps)
     gif = Path(video_path).with_suffix(".gif")
     frames_out[0].save(
         gif,

@@ -258,6 +258,10 @@ class WorldStateRLR(PlacementMixin, WorldState):
         """
         if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES or self.mesh.is_convex:
             return None
+        from audiblelight_tpu.ops.pallas_kernels import pallas_supported
+
+        if not pallas_supported():
+            return None  # non-TPU backends run the chunked XLA occlusion path
         key = (tuple(np.round(np.asarray(center, float), 4)), round(float(r_pad), 4))
         cache = getattr(self, "_star_accels", None)
         if cache is None:

@@ -80,6 +80,80 @@ def sample_layout(rng):
     return statics, traj
 
 
+def main_scanned():
+    """Secondary config (`bench.py --scanned`): RIR tracing on a 110k-face
+    nonconvex scanned-style room with occlusion ON — the regime the reference
+    pushes through rlr's C++ BVH — against the same trace on the 12-face convex
+    box the flagship bench uses (occlusion skipped exactly). Prints one JSON
+    line; `vs_box` is the scanned/box wall-time ratio (the "within ~10x of the
+    box-mesh rate" criterion)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from audiblelight_tpu.geometry.mesh import box_mesh, scanned_like_room
+    from audiblelight_tpu.ops.star_occlusion import build_star_accel
+    from audiblelight_tpu.rir.raytracer import trace_rirs_multi
+
+    rng = np.random.default_rng(0)
+    n_sources = N_EVENTS + N_TRAJ - 1  # the SELD scene's source count (13)
+    margin = 0.6
+    sources = jnp.asarray(
+        rng.uniform(margin, ROOM - margin, size=(n_sources, 3)), jnp.float32
+    )
+    center = ROOM / 2
+    offs = np.array([[0.01, 0.01, 0.01], [-0.01, 0.01, -0.01],
+                     [0.01, -0.01, -0.01], [-0.01, -0.01, 0.01]])
+    listeners = jnp.asarray(center[None] + offs, jnp.float32)  # AmbeoVR-like
+    n_samples = int(IR_SECONDS * SR)
+
+    def run(tris, occlusion, star, key):
+        f = tris.shape[0]
+        absor = jnp.full((f, 4), 0.3, jnp.float32)
+        scat = jnp.full((f,), 0.4, jnp.float32)
+        irs = trace_rirs_multi(
+            key, tris, absor, scat, sources, listeners,
+            n_samples=n_samples, sr=SR, n_rays=N_RAYS, max_depth=MAX_DEPTH,
+            occlusion=occlusion, star=star,
+        )
+        return np.asarray(irs)  # D2H sync
+
+    scan = scanned_like_room(extents=tuple(ROOM), seed=0)
+    tris_scan = jnp.asarray(scan.triangles)
+    star = build_star_accel(np.asarray(scan.triangles), center, r_pad=0.02)
+    box = box_mesh(extents=ROOM.tolist(), center=(ROOM / 2).tolist())
+    tris_box = jnp.asarray(np.asarray(box.triangles, dtype=np.float32))
+
+    times = {}
+    for name, tris, occl, st in (
+        ("box", tris_box, False, None),
+        ("scanned", tris_scan, True, star),
+    ):
+        run(tris, occl, st, jax.random.PRNGKey(0))  # compile + warm
+        t0 = time.time()
+        for i in range(2):
+            out = run(tris, occl, st, jax.random.PRNGKey(i + 1))
+        times[name] = (time.time() - t0) / 2
+        assert np.isfinite(out).all()
+
+    print(
+        json.dumps(
+            {
+                "metric": "scanned-room RIR set (13 sources x 4 capsules, 110k faces, occlusion on)",
+                "value": round(times["scanned"], 3),
+                "unit": "sec/RIR-set",
+                "vs_baseline": round(times["scanned"] / max(times["box"], 1e-9), 2),
+                "box_value": round(times["box"], 3),
+                "note": "vs_baseline here = scanned/box wall ratio (target <= ~10)",
+            }
+        )
+    )
+
+
 def main():
     import os
 
@@ -310,4 +384,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--scanned" in sys.argv:
+        main_scanned()
+    else:
+        main()

@@ -103,6 +103,14 @@ def main():
     dl.add_argument("--dataset", choices=["tau", "metu"], required=True)
     dl.add_argument("--output-dir", type=str, required=True)
 
+    tau = sub.add_parser(
+        "convert-tau", help="convert an extracted TAU-SRIR DB to SOFA (offline)"
+    )
+    tau.add_argument("--tau-db-dir", type=str, required=True)
+    tau.add_argument("--output-dir", type=str, required=True)
+    tau.add_argument("--format", choices=["mic", "foa"], default="mic")
+    tau.add_argument("--sample-rate", type=float, default=24000)
+
     cv = sub.add_parser("convert", help="convert local .npy RIRs to SOFA (offline)")
     cv.add_argument("--input-dir", type=str, required=True)
     cv.add_argument("--output", type=str, required=True)
@@ -113,8 +121,185 @@ def main():
     if args.cmd == "download":
         run(Path(args.output_dir), args.dataset)
         return
+    if args.cmd == "convert-tau":
+        convert_tau_to_sofa(
+            Path(args.tau_db_dir), Path(args.output_dir), args.format, args.sample_rate
+        )
+        return
     convert_npy_dir(Path(args.input_dir), Path(args.output), args.sample_rate, args.name)
 
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# TAU-SRIR DB -> SOFA (the reference pipeline's mat-file half)
+# ---------------------------------------------------------------------------
+
+TAU_ROOMS = [
+    "bomb_shelter", "gym", "pb132", "pc226", "sa203", "sc203", "se203",
+    "tb103", "tc352",
+]
+
+
+def _mat73(path: Path) -> dict:
+    """Minimal MATLAB v7.3 (.mat = HDF5) reader via h5py — the mat73 role.
+
+    Returns datasets as numpy arrays in MATLAB axis order (h5py yields the
+    dims reversed, so every dataset is transposed back) and cell arrays of
+    object references as nested Python lists.
+    """
+    import h5py
+
+    def load(node, f):
+        if isinstance(node, h5py.Group):
+            return {k: load(v, f) for k, v in node.items() if not k.startswith("#")}
+        arr = node[()]
+        if arr.dtype == object or arr.dtype.kind == "O":  # cell array of refs
+            arr = arr.T  # cell arrays come back transposed too
+
+            def deref(x):
+                if isinstance(x, np.ndarray):
+                    return [deref(e) for e in x]
+                return load(f[x], f)
+
+            return [deref(e) for e in arr]
+        if isinstance(arr, np.ndarray):
+            return arr.T  # back to MATLAB (column-major) axis order
+        return arr
+
+    with h5py.File(path, "r") as f:
+        return {k: load(v, f) for k, v in f.items() if not k.startswith("#")}
+
+
+def _cell(x):
+    """Unwrap the nested singleton lists _mat73 produces for 1x1 cells."""
+    while isinstance(x, list) and len(x) == 1:
+        x = x[0]
+    return x
+
+
+def _map_to_cylinder(path: np.ndarray, rad: float, axis: int) -> np.ndarray:
+    """Scale unit vectors onto a cylinder of radius `rad` about `axis`."""
+    rad_axes = [i for i in range(3) if i != axis]
+    scale_rad = np.sqrt(np.sum(path[:, rad_axes] ** 2, axis=1))
+    return path * (rad / np.maximum(scale_rad, 1e-12))[:, None]
+
+
+def _unitvec_to_cartesian(path_unitvec, height, dist):
+    if isinstance(dist, np.ndarray):  # linear trajectories: per-height dists
+        rad = float(np.sqrt(dist[0] ** 2 + (dist[2] + height) ** 2))
+        return _map_to_cylinder(path_unitvec, rad, axis=1)
+    return _map_to_cylinder(path_unitvec, float(dist), axis=2)
+
+
+def _squeeze_obj(x):
+    """Unwrap singleton MATLAB cell nesting ((1,1) object arrays) from loadmat."""
+    while isinstance(x, np.ndarray) and x.dtype == object and x.size == 1:
+        x = x.reshape(-1)[0]
+    return x
+
+
+def load_tau_paths(tau_db_dir: Path, room_idx: int, center_on_mic: bool = True):
+    """Source trajectories + room metadata from measinfo.mat / rirdata.mat
+    (MATLAB v5 files; positional struct-field indexing mirrors the layout the
+    reference consumes at its download_rirs.py:334-370)."""
+    from scipy.io import loadmat
+
+    measinfo = loadmat(str(Path(tau_db_dir) / "measinfo.mat"))["measinfo"]
+    rirdata = loadmat(str(Path(tau_db_dir) / "rirdata.mat"))["rirdata"][0]
+
+    info = measinfo[room_idx][0]
+    trajs = info[4][0]
+    heights = info[5][0]
+    dists = info[6][0]
+    mic_pos = info[7][0]
+    traj_type = info[9][0]
+    paths = rirdata[0][1][room_idx][0][2]
+
+    n_traj, n_heights = paths.shape
+    out = np.empty((n_traj, n_heights), dtype=object)
+    for i in range(n_traj):
+        for j, height in enumerate(heights):
+            if traj_type == "circular":
+                dist = dists[i]
+            elif traj_type == "linear":
+                dist = dists[:, i]
+            else:
+                raise ValueError(f"Unknown trajectory type: {traj_type}")
+            p = _unitvec_to_cartesian(np.asarray(_squeeze_obj(paths[i, j])), height, dist)
+            if center_on_mic:
+                p = p + mic_pos
+            out[i, j] = p
+    return out, {
+        "room": TAU_ROOMS[room_idx],
+        "trajectory_type": str(traj_type),
+        "microphone_position": np.asarray(mic_pos, dtype=float),
+    }
+
+
+def load_flat_tau_srir(
+    tau_db_dir: Path, room_idx: int, aud_fmt: str = "mic", traj=None, flip: bool = True
+):
+    """Flattened (measurements, receivers, samples) RIR stack + source path for
+    one TAU room, reading the v7.3 per-room mat via _mat73 (no mat73 dep).
+
+    Every other height's path runs the opposite direction in the DCASE
+    convention, so `flip` reverses odd heights (reference
+    download_rirs.py:119-150 parity).
+    """
+    tau_db_dir = Path(tau_db_dir)
+    room = TAU_ROOMS[room_idx]
+    rir_file = sorted(p for p in tau_db_dir.iterdir() if room in p.name)[0]
+    mat = _mat73(rir_file)["rirs"]
+    cells = mat[aud_fmt] if isinstance(mat, dict) else mat
+    paths_out, room_meta = load_tau_paths(tau_db_dir, room_idx)
+    n_traj, n_heights = paths_out.shape
+
+    traj_iter = range(n_traj) if traj is None else [traj]
+    rir_blocks, path_blocks = [], []
+    for i in traj_iter:
+        for j in range(n_heights):
+            block = np.asarray(_cell(cells[i][j]))  # (n, r, m) MATLAB order
+            path = paths_out[i, j]
+            if flip and j % 2 == 1:
+                block = block[:, :, ::-1]
+                path = path[::-1]
+            rir_blocks.append(block)
+            path_blocks.append(path)
+
+    stack = np.concatenate(rir_blocks, axis=2)  # (n, r, M)
+    source_pos = np.concatenate(path_blocks, axis=0)  # (M, 3)
+    flat = np.moveaxis(stack, [0, 2], [2, 0])  # (M, r, n)
+    mic_pos = np.repeat(room_meta["microphone_position"][None], len(flat), axis=0)
+    return flat, source_pos, mic_pos, room_meta["room"]
+
+
+def convert_tau_to_sofa(
+    tau_db_dir: Path,
+    out_dir: Path,
+    aud_fmt: str = "mic",
+    sample_rate: float = 24000.0,
+    rooms=None,
+) -> list:
+    """All TAU rooms -> one SingleRoomSRIR SOFA each (offline, given the
+    extracted DB). The WorldStateSOFA backend reads these directly."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    room_ids = range(len(TAU_ROOMS)) if rooms is None else rooms
+    for room_idx in room_ids:
+        try:
+            rirs, src, mic, room = load_flat_tau_srir(tau_db_dir, room_idx, aud_fmt)
+        except (IndexError, FileNotFoundError) as exc:
+            logger.warning(f"Skipping room {room_idx}: {exc}")
+            continue
+        # write_sofa wants one listener position + per-capsule receivers
+        receivers = np.zeros((rirs.shape[1], 3))
+        path = convert_rirs_to_sofa(
+            rirs, src, mic[0], receivers, sample_rate,
+            out_dir / f"tau_{room}_{aud_fmt}.sofa", aud_fmt,
+        )
+        written.append(path)
+    return written

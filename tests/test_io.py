@@ -104,3 +104,67 @@ def test_mjpeg_avi_errors(tmp_path):
     frames = [np.zeros((32, 32, 3), np.uint8), np.zeros((16, 32, 3), np.uint8)]
     with pytest.raises(ValueError):
         write_mjpeg_avi(tmp_path / "y.avi", frames, fps=10)
+
+
+def test_mjpeg_mp4_box_structure(tmp_path):
+    """The MP4 muxer writes a well-formed ISO-BMFF tree: box sizes tile the
+    file exactly, the required boxes exist, stsz matches the JPEG payloads,
+    and every frame decodes from its recorded offset."""
+    import io
+    import struct
+
+    import numpy as np
+    from PIL import Image
+
+    from audiblelight_tpu.io.mp4 import write_mjpeg_mp4
+
+    rng = np.random.default_rng(0)
+    frames = [
+        (rng.uniform(0, 255, size=(48, 64, 3))).astype(np.uint8) for _ in range(5)
+    ]
+    out = write_mjpeg_mp4(tmp_path / "clip.mp4", frames, fps=10)
+    data = out.read_bytes()
+
+    def walk(buf, base):
+        boxes = {}
+        pos = 0
+        while pos < len(buf):
+            size, four = struct.unpack(">I4s", buf[pos : pos + 8])
+            assert size >= 8
+            boxes[four] = (base + pos + 8, buf[pos + 8 : pos + size])
+            pos += size
+        assert pos == len(buf)  # boxes tile the range exactly
+        return boxes
+
+    top = walk(data, 0)
+    assert set(top) == {b"ftyp", b"mdat", b"moov"}
+    moov_off, moov = top[b"moov"]
+    moov_boxes = walk(moov, moov_off)
+    trak_off, trak = moov_boxes[b"trak"]
+    # descend: trak -> mdia -> minf -> stbl
+    mdia_off, mdia_buf = walk(trak, trak_off)[b"mdia"]
+    minf_off, minf_buf = walk(mdia_buf, mdia_off)[b"minf"]
+    stbl_off, stbl_buf = walk(minf_buf, minf_off)[b"stbl"]
+    stbl = walk(stbl_buf, stbl_off)
+    for four in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+        assert four in stbl
+
+    # stsz sample sizes + stco chunk offset recover every JPEG frame
+    stsz = stbl[b"stsz"][1]
+    _, _, n = struct.unpack(">III", stsz[:12])
+    sizes = struct.unpack(f">{n}I", stsz[12 : 12 + 4 * n])
+    assert n == 5
+    stco = stbl[b"stco"][1]
+    (_, _, chunk_off) = struct.unpack(">III", stco[:12])
+    pos = chunk_off
+    for k, size in enumerate(sizes):
+        img = Image.open(io.BytesIO(data[pos : pos + size]))
+        assert img.size == (64, 48)
+        pos += size
+    # sample entry advertises mp4v + an esds with the JPEG object type (0x6C):
+    # esds fourcc, verflags(4), ES tag(1) len(1) ES_ID(2) flags(1),
+    # DecoderConfig tag(1) len(1) -> objectTypeIndication
+    stsd = stbl[b"stsd"][1]
+    assert b"mp4v" in stsd and b"esds" in stsd
+    idx = stsd.index(b"esds")
+    assert stsd[idx + 15] == 0x6C

@@ -38,7 +38,6 @@ def fg_dir_2025(tmp_path_factory):
 
 
 def run_script(script, *args):
-    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
     import os
 
     env = dict(
@@ -47,6 +46,13 @@ def run_script(script, *args):
         # Persistent compile cache: subprocesses reuse each other's XLA programs
         JAX_COMPILATION_CACHE_DIR="/tmp/al_jax_cache",
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+        # Drop the axon sitecustomize from PYTHONPATH: it force-selects the
+        # TPU tunnel and IGNORES JAX_PLATFORMS=cpu, so script subprocesses
+        # would silently run through (and hang on) the tunnel.
+        PYTHONPATH=os.pathsep.join(
+            p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p
+        ) or str(REPO),
     )
     return subprocess.run(
         [sys.executable, str(REPO / script), *args],
@@ -350,3 +356,104 @@ def test_seld_generate_dataset_from_assets(fg_dir, tmp_path):
     assert any("fold2_scene2_000" in str(p) for p in test)
     csvs = list(tmp_path.rglob("*.csv"))
     assert len(csvs) == 9
+
+
+def test_tau_srir_mat_to_sofa_offline(tmp_path):
+    """Full TAU-SRIR conversion on a synthetic DB with the real layout:
+    a v7.3 (HDF5) per-room rirs mat holding struct->cell[traj][height] IR
+    blocks, and v5 measinfo/rirdata mats with the positional struct fields the
+    loader indexes. Validates the h5py-based v7.3 reader, the
+    unitvec->cylinder path reconstruction, odd-height flipping, and the final
+    SOFA round trip."""
+    import h5py
+    import numpy as np
+    from scipy.io import savemat
+
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "download_rirs", Path(__file__).resolve().parents[1]
+        / "scripts" / "download_data" / "download_rirs.py"
+    )
+    dr = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(dr)
+
+    rng = np.random.default_rng(0)
+    n, r = 48, 4  # samples, receivers
+    n_traj, n_heights, m_pts = 2, 2, 5
+    db = tmp_path / "TAU-SRIR_DB"
+    db.mkdir()
+
+    # v7.3 per-room rirs file: /rirs/mic = (n_traj, n_heights) cell of refs to
+    # (n, r, m) arrays — h5py axis order reversed, as MATLAB writes it.
+    blocks = rng.standard_normal((n_traj, n_heights, n, r, m_pts)).astype(np.float64)
+    with h5py.File(db / "rirs_01_bomb_shelter.mat", "w") as f:
+        refs = f.create_group("#refs#")
+        cell = np.empty((n_heights, n_traj), dtype=h5py.ref_dtype)
+        for i in range(n_traj):
+            for j in range(n_heights):
+                d = refs.create_dataset(f"b{i}{j}", data=blocks[i, j].T)
+                cell[j, i] = d.ref
+        f.create_group("rirs").create_dataset("mic", data=cell)
+
+    # v5 measinfo.mat: (9, 1) struct array; loader reads positional fields
+    # 4 (trajs) 5 (heights) 6 (dists) 7 (mic pos) 9 (traj type).
+    heights = np.array([1.0, 1.6])
+    dists = np.array([2.0, 2.5])  # circular: one radius per trajectory
+    mic_pos = np.array([4.0, 3.0, 1.2])
+    dt = np.dtype(
+        [(f"f{k}", object) for k in range(4)]
+        + [("trajs", object), ("heights", object), ("dists", object),
+           ("micpos", object), ("f8", object), ("trajtype", object)]
+    )
+    rec = np.empty((9, 1), dtype=dt)
+    for k in range(9):
+        for name in rec.dtype.names:
+            rec[k, 0][name] = np.zeros((1, 1))
+        rec[k, 0]["trajs"] = np.array([[1.0, 2.0]])
+        rec[k, 0]["heights"] = heights[None]
+        rec[k, 0]["dists"] = dists[None]
+        rec[k, 0]["micpos"] = mic_pos[None]
+        rec[k, 0]["trajtype"] = np.array(["circular"])
+    savemat(db / "measinfo.mat", {"measinfo": rec})
+
+    # v5 rirdata.mat: rirdata[0][0][1][room][0][2] = (n_traj, n_heights) cell
+    # of 1x1 cells holding (m, 3) unit-vector paths.
+    paths = np.empty((n_traj, n_heights), dtype=object)
+    for i in range(n_traj):
+        for j in range(n_heights):
+            v = rng.standard_normal((m_pts, 3))
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            inner = np.empty((1,), dtype=object)
+            inner[0] = v
+            paths[i, j] = inner
+    rooms_cell = np.empty((9, 1), dtype=[("a", object), ("b", object), ("paths", object)])
+    for k in range(9):
+        rooms_cell[k, 0]["a"] = np.zeros((1, 1))
+        rooms_cell[k, 0]["b"] = np.zeros((1, 1))
+        rooms_cell[k, 0]["paths"] = paths
+    outer = np.empty((1, 1), dtype=[("x", object), ("rooms", object)])
+    outer[0, 0]["x"] = np.zeros((1, 1))
+    outer[0, 0]["rooms"] = rooms_cell
+    savemat(db / "rirdata.mat", {"rirdata": outer})
+
+    written = dr.convert_tau_to_sofa(db, tmp_path / "sofa", rooms=[0])
+    assert len(written) == 1
+
+    from audiblelight_tpu.io.sofa import SOFAFile
+
+    with SOFAFile(written[0]) as sf:
+        irs = sf.data_ir
+        src = sf.source_positions
+    m_total = n_traj * n_heights * m_pts
+    assert irs.shape == (m_total, r, n)
+    assert src.shape == (m_total, 3)
+    # circular trajectories land on a cylinder of the per-traj radius about z
+    rel = src - mic_pos[None]
+    rad = np.sqrt(rel[:, 0] ** 2 + rel[:, 1] ** 2)
+    assert np.allclose(rad[: n_heights * m_pts], 2.0, atol=1e-4)  # traj 0
+    assert np.allclose(rad[n_heights * m_pts :], 2.5, atol=1e-4)  # traj 1
+    # odd heights flipped: block (0,1) appears reversed along measurements
+    got = irs[m_pts : 2 * m_pts]  # traj 0, height 1
+    expect = np.moveaxis(blocks[0, 1][:, :, ::-1], [0, 2], [2, 0])
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
