@@ -34,6 +34,7 @@ import numpy as np
 from audiblelight_tpu import config
 from audiblelight_tpu.geometry.queries import ray_mesh_first_hit, segments_occluded
 from audiblelight_tpu.ops.star_occlusion import star_segments_occluded
+from audiblelight_tpu.ops.tiled_first_hit import tiled_first_hit
 from audiblelight_tpu.ops.pallas_kernels import bin_histogram, deposit_histogram_pallas, pallas_supported
 from audiblelight_tpu.rir.sh import binaural_encoding_gains, foa_encoding_gains
 
@@ -100,6 +101,7 @@ def trace_energy_histogram(
     shared_visibility: bool = True,
     accel=None,
     star=None,
+    mesh_tiles=None,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -170,7 +172,11 @@ def trace_energy_histogram(
     def bounce(carry, k_step):
         origins, dirs, energy, dist, alive, hist = carry
 
-        t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
+        if mesh_tiles is not None:
+            # Reachability-culled first hit (surface-origin wavefront regime)
+            t, face = tiled_first_hit(mesh_tiles, origins, dirs)
+        else:
+            t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
         hit_ok = alive & jnp.isfinite(t)
         t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
         face_safe = jnp.maximum(face, 0)
@@ -461,6 +467,7 @@ def trace_rirs(
     shared_visibility: bool = True,
     accel=None,
     star=None,
+    mesh_tiles=None,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
 
@@ -489,6 +496,7 @@ def trace_rirs(
         shared_visibility=shared_visibility,
         accel=accel,
         star=star,
+        mesh_tiles=mesh_tiles,
     )
     band_freqs = jnp.asarray(
         np.geomspace(125.0, 8000.0, face_absorption.shape[1])
@@ -531,6 +539,7 @@ def trace_energy_histogram_multi(
     shared_visibility: bool = True,
     accel=None,
     star=None,
+    mesh_tiles=None,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
 
@@ -575,7 +584,10 @@ def trace_energy_histogram_multi(
     def bounce(carry, k_step):
         origins, dirs, energy, dist, alive, hist = carry
 
-        t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
+        if mesh_tiles is not None:
+            t, face = tiled_first_hit(mesh_tiles, origins, dirs)
+        else:
+            t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
         hit_ok = alive & jnp.isfinite(t)
         t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
         face_safe = jnp.maximum(face, 0)
@@ -740,6 +752,7 @@ def trace_rirs_multi(
     shared_visibility: bool = True,
     accel=None,
     star=None,
+    mesh_tiles=None,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
@@ -772,6 +785,7 @@ def trace_rirs_multi(
         shared_visibility=shared_visibility,
         accel=accel,
         star=star,
+        mesh_tiles=mesh_tiles,
     )  # (E, C_out, B, bins)
 
     band_freqs = jnp.asarray(

@@ -250,6 +250,23 @@ class WorldStateRLR(PlacementMixin, WorldState):
             logger.info(f"Built ray-acceleration structure: {self._grid_accel}")
         return self._grid_accel
 
+    @property
+    def mesh_tiles(self):
+        """Morton-tiled face layout for reachability-culled first hits
+        (large meshes on TPU backends only; None elsewhere)."""
+        if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES:
+            return None
+        from audiblelight_tpu.ops.pallas_kernels import pallas_supported
+
+        if not pallas_supported():
+            return None
+        if getattr(self, "_mesh_tiles", None) is None:
+            from audiblelight_tpu.ops.tiled_first_hit import build_mesh_tiles
+
+            self._mesh_tiles = build_mesh_tiles(self.mesh.triangles.astype(np.float32))
+            logger.info(f"Built first-hit tile structure: {self._mesh_tiles}")
+        return self._mesh_tiles
+
     def star_accel_for(self, center: np.ndarray, r_pad: float):
         """Azimuth-culled occlusion layout for one listener centre (cached).
 
@@ -570,6 +587,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 transmission=bool(self.cfg.transmission),
                 shared_visibility=bool(self.cfg.shared_visibility),
                 star=star,
+                mesh_tiles=self.mesh_tiles,
                 # Bounce-loop queries run the dense streamed Pallas kernels at
                 # any face count: rays leaving SURFACES graze face-dense cells,
                 # where the uniform-grid DDA degenerates to hundreds of
