@@ -391,17 +391,20 @@ def load_mesh(mesh_fpath: Union[str, Path]) -> TriMesh:
         metadata=dict(fname=mesh_fpath.stem, ftype=mesh_fpath.suffix, fpath=str(mesh_fpath)),
     )
 
-    # Unit coercion heuristic for unit-less formats: a building scan larger than
-    # 1000 m across is almost certainly millimetres.
-    if suffix in (".obj", ".ply"):
-        extent = np.max(mesh.bounds[1] - mesh.bounds[0])
-        if extent > 1000.0:
-            logger.warning(
-                f"Mesh {mesh_fpath.stem} spans {extent:.0f} units; assuming millimetres "
-                f"and converting to {config.MESH_UNITS}"
-            )
-            mesh.vertices = mesh.vertices / 1000.0
-            mesh._tri_cache = None
+    # Unit coercion heuristic (the reference guesses units from extents for
+    # every format via trimesh convert_units(guess=True), worldstate.py:66-71):
+    # a building scan larger than 1000 m across is almost certainly
+    # millimetres, 100-1000 m likely centimetres.
+    extent = np.max(mesh.bounds[1] - mesh.bounds[0])
+    factor = 1000.0 if extent > 1000.0 else (100.0 if extent > 100.0 else 1.0)
+    if factor != 1.0:
+        unit = "millimetres" if factor == 1000.0 else "centimetres"
+        logger.warning(
+            f"Mesh {mesh_fpath.stem} spans {extent:.0f} units; assuming {unit} "
+            f"and converting to {config.MESH_UNITS}"
+        )
+        mesh.vertices = mesh.vertices / factor
+        mesh._tri_cache = None
     return mesh
 
 

@@ -233,3 +233,110 @@ def test_glb_roundtrip(tmp_path, room):
     np.testing.assert_allclose(loaded.vertices, room.vertices, atol=1e-6)
     np.testing.assert_array_equal(loaded.faces, room.faces)
     assert loaded.is_watertight
+
+
+def _pack_glb(gltf_dict, bin_blob):
+    import json as _json
+    import struct
+
+    json_bytes = _json.dumps(gltf_dict).encode()
+    json_bytes += b" " * (-len(json_bytes) % 4)
+    bin_blob = bin_blob + b"\x00" * (-len(bin_blob) % 4)
+    glb = struct.pack(
+        "<III", 0x46546C67, 2, 12 + 8 + len(json_bytes) + 8 + len(bin_blob)
+    )
+    glb += struct.pack("<II", len(json_bytes), 0x4E4F534A) + json_bytes
+    glb += struct.pack("<II", len(bin_blob), 0x004E4942) + bin_blob
+    return glb
+
+
+def test_glb_exporter_quirks(tmp_path):
+    """Real-exporter GLB features in one file: an INTERLEAVED vertex buffer
+    (position+normal with byteStride), uint16 indices, TWO primitives split
+    across TWO nodes — one under a translation+scale TRS transform — all
+    concatenated into a single mesh on load."""
+    # Primitive A: unit right triangle at origin, interleaved pos+normal
+    pos_a = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    nrm_a = np.tile(np.array([[0, 0, 1]], np.float32), (3, 1))
+    inter = np.empty((3, 6), np.float32)
+    inter[:, 0:3] = pos_a
+    inter[:, 3:6] = nrm_a
+    idx_a = np.array([0, 1, 2], np.uint16)
+
+    # Primitive B: triangle translated by node TRS (t=[5,0,0], s=2)
+    pos_b = np.array([[0, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    idx_b = np.array([0, 1, 2], np.uint16)
+
+    blob = inter.tobytes() + idx_a.tobytes() + pos_b.tobytes() + idx_b.tobytes()
+    o1 = inter.nbytes
+    o2 = o1 + idx_a.nbytes
+    o3 = o2 + pos_b.nbytes
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0},
+            {"mesh": 1, "translation": [5.0, 0.0, 0.0], "scale": [2.0, 2.0, 2.0]},
+        ],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": 0, "NORMAL": 1}, "indices": 2}]},
+            {"primitives": [{"attributes": {"POSITION": 3}, "indices": 4}]},
+        ],
+        "accessors": [
+            {"bufferView": 0, "byteOffset": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 0, "byteOffset": 12, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 3, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": inter.nbytes, "byteStride": 24},
+            {"buffer": 0, "byteOffset": o1, "byteLength": idx_a.nbytes},
+            {"buffer": 0, "byteOffset": o2, "byteLength": pos_b.nbytes},
+            {"buffer": 0, "byteOffset": o3, "byteLength": idx_b.nbytes},
+        ],
+        "buffers": [{"byteLength": len(blob)}],
+    }
+    path = tmp_path / "quirks.glb"
+    path.write_bytes(_pack_glb(gltf, blob))
+
+    loaded = load_mesh(path)
+    assert loaded.faces.shape == (2, 3)
+    assert loaded.vertices.shape == (6, 3)
+    # Primitive A vertices intact despite interleaving
+    np.testing.assert_allclose(loaded.vertices[:3], pos_a, atol=1e-6)
+    # Primitive B transformed: scaled by 2 then translated by [5, 0, 0]
+    expect_b = pos_b * 2.0 + np.array([5.0, 0.0, 0.0])
+    np.testing.assert_allclose(loaded.vertices[3:], expect_b, atol=1e-6)
+
+
+def test_glb_millimetre_scale_heuristic(tmp_path):
+    """A room-sized mesh authored in millimetres rescales to metres on load."""
+    room_mm = box_mesh(extents=[7000.0, 5000.0, 3000.0], center=[3500, 2500, 1500])
+    verts = np.asarray(room_mm.vertices, np.float32)
+    faces = np.asarray(room_mm.faces, np.uint32)
+    blob = verts.tobytes() + faces.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(verts), "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5125, "count": faces.size, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": verts.nbytes},
+            {"buffer": 0, "byteOffset": verts.nbytes, "byteLength": faces.nbytes},
+        ],
+        "buffers": [{"byteLength": len(blob)}],
+    }
+    path = tmp_path / "mm.glb"
+    path.write_bytes(_pack_glb(gltf, blob))
+    loaded = load_mesh(path)
+    extent = loaded.vertices.max(0) - loaded.vertices.min(0)
+    np.testing.assert_allclose(extent, [7.0, 5.0, 3.0], rtol=1e-5)
