@@ -116,6 +116,11 @@ DIFFRACTION_SCATTERING_FLOOR = 0.35
 # Use the Pallas first-hit kernel on TPU backends (exact-match fallback to the
 # chunked XLA path on other backends / very large meshes)
 USE_PALLAS_RAYCAST = True
+# Culled raycast kernels for the scanned-mesh tracer (big nonconvex meshes on
+# TPU): azimuth-star occlusion and reachability-tiled first hit. Independent
+# kill switches — either falls back to the dense streamed kernels.
+USE_STAR_OCCLUSION = True
+USE_TILED_FIRST_HIT = True
 # Above this face count WorldStateRLR builds a uniform-grid acceleration
 # structure (geometry.grid) — O(cells crossed) per ray instead of O(F) — the
 # scanned-mesh regime; below it the dense VMEM-tiled Pallas kernels win.

@@ -254,6 +254,8 @@ class WorldStateRLR(PlacementMixin, WorldState):
     def mesh_tiles(self):
         """Morton-tiled face layout for reachability-culled first hits
         (large meshes on TPU backends only; None elsewhere)."""
+        if not getattr(config, "USE_TILED_FIRST_HIT", True):
+            return None
         if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES:
             return None
         from audiblelight_tpu.ops.pallas_kernels import pallas_supported
@@ -273,6 +275,8 @@ class WorldStateRLR(PlacementMixin, WorldState):
         Only pays on large nonconvex meshes (the scanned-room regime); None
         otherwise, and callers fall back to the dense kernels.
         """
+        if not getattr(config, "USE_STAR_OCCLUSION", True):
+            return None
         if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES or self.mesh.is_convex:
             return None
         from audiblelight_tpu.ops.pallas_kernels import pallas_supported
