@@ -40,6 +40,37 @@ _PLAN_FIELDS = [
 ]
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> int:
+    """Join a multi-host JAX cluster (the NCCL/MPI-rendezvous analog).
+
+    Wraps `jax.distributed.initialize`: after it returns, `jax.devices()` spans
+    EVERY host's chips, `make_mesh()` builds cross-host meshes, and the pjit /
+    shard_map programs in this module run with XLA collectives riding ICI
+    within a slice and DCN across slices — no application-level communication
+    code. On TPU pods the three arguments auto-detect from the environment;
+    on CPU/GPU clusters pass them explicitly (tests drive a 2-process CPU
+    cluster this way). Returns the global device count.
+
+    Idempotent: re-initialising an already-initialised runtime is a no-op.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as exc:  # already initialised
+        if "already" not in str(exc).lower():
+            raise
+    return len(jax.devices())
+
+
 def make_mesh(
     n_scene: Optional[int] = None, n_chan: int = 1, devices: Optional[Sequence] = None
 ) -> Mesh:
@@ -253,4 +284,4 @@ def shard_trace_rirs(
     return fn(source_positions, tri_normals)
 
 
-__all__ = ["make_mesh", "pad_plans", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs"]
+__all__ = ["init_distributed", "make_mesh", "pad_plans", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs"]
