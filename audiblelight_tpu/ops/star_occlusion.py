@@ -276,33 +276,42 @@ def _star_kernel(
 
     two_pi = 2.0 * np.pi
 
-    def tile(tl, blocked):
+    # Predicated accumulation into the OUTPUT ref (canonical Pallas style —
+    # pl.when bodies mutate refs; no cond-carried values).
+    occ_out_ref[:] = jnp.zeros((1, STAR_LANES), jnp.int32)
+
+    def tile(tl, _):
         t_cen = meta_ref[0, tl]
         t_half = meta_ref[1, tl]
         # Circular interval overlap: wrap the centre difference into [-pi, pi)
         d = t_cen - b_cen
         d = d - two_pi * jnp.floor(d / two_pi + 0.5)
-        overlap = jnp.abs(d) <= t_half + b_half
 
-        def body(blocked):
+        @pl.when(jnp.abs(d) <= t_half + b_half)
+        def _():
             def group(i, blk):
                 rows = pl.ds(tl * TILE_FACES + i * FACE_GROUP, FACE_GROUP)
                 hit = _mt_window_hit(ox, oy, oz, dx, dy, dz, seg_len, narrow_ref, rows)
                 return jnp.maximum(blk, jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True))
 
-            return jax.lax.fori_loop(0, TILE_FACES // FACE_GROUP, group, blocked)
+            acc = jax.lax.fori_loop(
+                0, TILE_FACES // FACE_GROUP, group, jnp.zeros((1, STAR_LANES), jnp.int32)
+            )
+            occ_out_ref[:] = jnp.maximum(occ_out_ref[:], acc)
 
-        return jax.lax.cond(overlap, body, lambda b: b, blocked)
+        return 0
 
-    blocked = jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((1, STAR_LANES), jnp.int32))
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
 
     def wide_group(i, blk):
         rows = pl.ds(i * FACE_GROUP, FACE_GROUP)
         hit = _mt_window_hit(ox, oy, oz, dx, dy, dz, seg_len, wide_ref, rows)
         return jnp.maximum(blk, jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True))
 
-    blocked = jax.lax.fori_loop(0, n_wide_groups, wide_group, blocked)
-    occ_out_ref[:] = blocked
+    wide = jax.lax.fori_loop(
+        0, n_wide_groups, wide_group, jnp.zeros((1, STAR_LANES), jnp.int32)
+    )
+    occ_out_ref[:] = jnp.maximum(occ_out_ref[:], wide)
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "interpret"))

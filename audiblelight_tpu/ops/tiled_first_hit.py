@@ -135,6 +135,7 @@ def _fh_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, L)
     face_ref,  # (n_tiles*TILE_FACES, 10) VMEM
     t_out_ref, idx_out_ref,
+    best_t_ref, best_i_ref,  # VMEM scratch (FACE_GROUP, FH_LANES)
 ):
     g = pl.program_id(0)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -146,19 +147,20 @@ def _fh_kernel(
     dM = [bmeta_ref[9 + i, g] for i in range(3)]
 
     shape = (FACE_GROUP, FH_LANES)
+    best_t_ref[:] = jnp.full(shape, _BIG, jnp.float32)
+    best_i_ref[:] = jnp.full(shape, jnp.int32(2**30))
 
-    def tile(tl, carry):
+    def tile(tl, _):
         # Reachability: a tile wholly behind every ray on any axis is skipped.
-        unreachable = False
+        reachable = True
         for ax in range(3):
             lo = aabb_ref[ax, tl]
             hi = aabb_ref[3 + ax, tl]
-            unreachable = unreachable | ((dm[ax] >= 0.0) & (hi < om[ax]))
-            unreachable = unreachable | ((dM[ax] <= 0.0) & (lo > oM[ax]))
+            reachable = reachable & ~((dm[ax] >= 0.0) & (hi < om[ax]))
+            reachable = reachable & ~((dM[ax] <= 0.0) & (lo > oM[ax]))
 
-        def body(carry):
-            best_t, best_i = carry
-
+        @pl.when(reachable)
+        def _():
             def group(i, c):
                 bt, bi = c
                 rows = pl.ds(tl * TILE_FACES + i * FACE_GROUP, FACE_GROUP)
@@ -202,15 +204,17 @@ def _fh_kernel(
                 better = (t_hit < bt) | ((t_hit == bt) & (fidx < bi))
                 return jnp.where(better, t_hit, bt), jnp.where(better, fidx, bi)
 
-            return jax.lax.fori_loop(0, TILE_FACES // FACE_GROUP, group, carry)
+            bt, bi = jax.lax.fori_loop(
+                0, TILE_FACES // FACE_GROUP, group, (best_t_ref[:], best_i_ref[:])
+            )
+            best_t_ref[:] = bt
+            best_i_ref[:] = bi
 
-        return jax.lax.cond(unreachable, lambda c: c, body, carry)
+        return 0
 
-    init = (
-        jnp.full(shape, _BIG, jnp.float32),
-        jnp.full(shape, jnp.int32(2**30)),
-    )
-    best_t, best_i = jax.lax.fori_loop(0, n_tiles, tile, init)
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+    best_t = best_t_ref[:]
+    best_i = best_i_ref[:]
 
     # Cross-sublane resolve: min t, then smallest original index on ties
     t_min = jnp.min(best_t, axis=0, keepdims=True)
@@ -240,6 +244,10 @@ def _fh_call(face_tab, tile_aabb, n_tiles, o, d, bmeta, interpret=False):
             jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((FACE_GROUP, FH_LANES), jnp.float32),
+            pltpu.VMEM((FACE_GROUP, FH_LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(tile_aabb, bmeta, comp(o, 0), comp(o, 1), comp(o, 2),
       comp(d, 0), comp(d, 1), comp(d, 2), face_tab)
