@@ -267,8 +267,10 @@ def tiled_first_hit(
     dirs = jnp.atleast_2d(dirs).astype(jnp.float32)
     r = origins.shape[0]
 
-    # Sort key: 6-bit octant-extended origin cell. 16x16x8 origin cells over
-    # the wavefront's own AABB, x2 per direction-sign triple.
+    # Sort key: direction-sign octant MAJOR, coarse origin cell minor. The
+    # octant must own the high bits — per-block sign coherence is what turns
+    # the per-axis constraints on; blocks then subdivide each octant's rays by
+    # origin locality (16x16x8 cells over the wavefront's own AABB).
     lo = jnp.min(origins, axis=0)
     span = jnp.maximum(jnp.max(origins, axis=0) - lo, 1e-6)
     cell = ((origins - lo) / span * jnp.asarray([15.999, 15.999, 7.999])).astype(
@@ -279,7 +281,7 @@ def tiled_first_hit(
         + 2 * (dirs[:, 1] >= 0).astype(jnp.int32)
         + 4 * (dirs[:, 2] >= 0).astype(jnp.int32)
     )
-    key = ((cell[:, 0] * 16 + cell[:, 1]) * 8 + cell[:, 2]) * 8 + octant
+    key = octant * 2048 + ((cell[:, 0] * 16 + cell[:, 1]) * 8 + cell[:, 2])
     order = jnp.argsort(key)
 
     packed = jnp.concatenate([origins, dirs], axis=1)[order]  # one row gather

@@ -76,8 +76,43 @@ def _cosine_hemisphere(key, normals: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+
+def _tpu_compiler_options() -> dict | None:
+    """Raise the TPU scoped-vmem ceiling for the tracer programs.
+
+    The culled raycast kernels keep a whole-mesh face table VMEM-resident;
+    inside the bounce scan the default scoped-vmem budget (16 MiB) rejects the
+    custom call, so the tracer jits compile with a 64 MiB ceiling on TPU
+    backends (ignored elsewhere — CPU rejects unknown options, so None).
+    """
+    from audiblelight_tpu.ops.pallas_kernels import pallas_supported
+
+    return {"xla_tpu_scoped_vmem_limit_kib": 65536} if pallas_supported() else None
+
+
+def _lazy_jit(fn, **jit_kwargs):
+    """jax.jit whose compiler options are resolved at FIRST CALL, not import.
+
+    Backend identity (TPU vs CPU) is unknown at import time; the jitted
+    callable is built once on first use with _tpu_compiler_options().
+    """
+    box = {}
+
+    def wrapper(*args, **kwargs):
+        if "f" not in box:
+            box["f"] = jax.jit(
+                fn, compiler_options=_tpu_compiler_options(), **jit_kwargs
+            )
+        return box["f"](*args, **kwargs)
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__wrapped__ = fn
+    return wrapper
+
+
 @partial(
-    jax.jit,
+    _lazy_jit,
     static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion", "transmission", "shared_visibility"),
 )
 def trace_energy_histogram(
@@ -514,7 +549,7 @@ def trace_rirs(
 
 
 @partial(
-    jax.jit,
+    _lazy_jit,
     static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "n_sources", "occlusion", "transmission", "shared_visibility"),
 )
 def trace_energy_histogram_multi(
