@@ -93,17 +93,27 @@ def _tpu_compiler_options() -> dict | None:
 def _lazy_jit(fn, **jit_kwargs):
     """jax.jit whose compiler options are resolved at FIRST CALL, not import.
 
-    Backend identity (TPU vs CPU) is unknown at import time; the jitted
-    callable is built once on first use with _tpu_compiler_options().
+    Backend identity (TPU vs CPU) is unknown at import time, and
+    `compiler_options` is only legal on a TOP-LEVEL jit — so the raised
+    scoped-vmem ceiling is applied exactly when a call actually passes the
+    culled accel structures (star / mesh_tiles), which only top-level callers
+    (WorldStateRLR.get_irs) do. Calls without them — including the bench's
+    nested-jit pipeline — get a plain jit.
     """
     box = {}
 
     def wrapper(*args, **kwargs):
-        if "f" not in box:
-            box["f"] = jax.jit(
-                fn, compiler_options=_tpu_compiler_options(), **jit_kwargs
+        needs_vmem = (
+            kwargs.get("star") is not None or kwargs.get("mesh_tiles") is not None
+        )
+        key = "opts" if needs_vmem else "plain"
+        if key not in box:
+            box[key] = jax.jit(
+                fn,
+                compiler_options=_tpu_compiler_options() if needs_vmem else None,
+                **jit_kwargs,
             )
-        return box["f"](*args, **kwargs)
+        return box[key](*args, **kwargs)
 
     wrapper.__name__ = fn.__name__
     wrapper.__doc__ = fn.__doc__
