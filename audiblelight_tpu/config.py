@@ -117,10 +117,13 @@ DIFFRACTION_SCATTERING_FLOOR = 0.35
 # chunked XLA path on other backends / very large meshes)
 USE_PALLAS_RAYCAST = True
 # Culled raycast kernels for the scanned-mesh tracer (big nonconvex meshes on
-# TPU): azimuth-star occlusion and reachability-tiled first hit. Independent
-# kill switches — either falls back to the dense streamed kernels.
+# TPU). Star occlusion measures 2-4x over dense (strong ~90% azimuth cull).
+# The reachability/distance-ordered first-hit kernel is exact but measures AT
+# PAR with the dense kernel on real workloads — its 512-lane ops lose the VPU
+# efficiency of the 4096-lane dense tiles, and the early exit is governed by
+# each block's worst (grazing) ray — so it stays off by default.
 USE_STAR_OCCLUSION = True
-USE_TILED_FIRST_HIT = True
+USE_TILED_FIRST_HIT = False
 # Above this face count WorldStateRLR builds a uniform-grid acceleration
 # structure (geometry.grid) — O(cells crossed) per ray instead of O(F) — the
 # scanned-mesh regime; below it the dense VMEM-tiled Pallas kernels win.
