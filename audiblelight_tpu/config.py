@@ -113,8 +113,9 @@ SPEED_OF_SOUND = 343.0
 # at this value: diffuse reflections spread energy into geometric shadow zones,
 # the first-order surrogate for edge diffraction (see docs/backends.md).
 DIFFRACTION_SCATTERING_FLOOR = 0.35
-# Use the Pallas first-hit kernel on TPU backends (exact-match fallback to the
-# chunked XLA path on other backends / very large meshes)
+# Use the Pallas raycast kernels on TPU backends at any face count (VMEM-sized
+# face tiles stream for large meshes); the chunked XLA path is the exact-match
+# fallback on other backends
 USE_PALLAS_RAYCAST = True
 # Culled raycast kernels for the scanned-mesh tracer (big nonconvex meshes on
 # TPU). Star occlusion measures 2-4x over dense (strong ~90% azimuth cull).

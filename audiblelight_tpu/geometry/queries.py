@@ -194,10 +194,12 @@ def segments_occluded(
     A small endpoint margin keeps segments that *touch* the surface at their
     endpoints (e.g. emitters placed on walls) from counting as occluded.
 
-    With a grid `accel` (geometry.grid.build_grid — the large scanned-mesh
-    path) the uniform-grid DDA runs; on TPU backends small meshes dispatch to
-    the Pallas any-hit kernel (ops.pallas_kernels.segments_occluded_pallas);
-    the chunked XLA formulation below is the fallback. All agree exactly.
+    With a grid `accel` (geometry.grid.build_grid — the interior-origin
+    regime: placement queries, panorama raycasts) the uniform-grid DDA runs;
+    otherwise TPU backends dispatch to the Pallas any-hit kernel
+    (ops.pallas_kernels.segments_occluded_pallas, streaming VMEM-sized face
+    tiles at any face count); the chunked XLA formulation below is the
+    non-TPU fallback. All agree exactly.
     """
     from audiblelight_tpu import config as _config
 
@@ -258,12 +260,12 @@ def ray_mesh_first_hit(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """First-hit distance and face index for rays against the mesh.
 
-    With a grid `accel` (geometry.grid.build_grid) the uniform-grid DDA runs —
-    the large scanned-mesh path, O(cells crossed) per ray instead of O(F). On
-    TPU backends small meshes dispatch to the Pallas kernel
-    (ops.pallas_kernels.ray_first_hit_pallas), which keeps each
-    (ray-block x face-chunk) tile in VMEM; elsewhere the chunked XLA
-    formulation below runs. All agree exactly.
+    With a grid `accel` (geometry.grid.build_grid) the uniform-grid DDA runs
+    — the interior-origin regime, O(cells crossed) per ray instead of O(F).
+    Otherwise TPU backends dispatch to the Pallas kernel
+    (ops.pallas_kernels.ray_first_hit_pallas), which streams VMEM-sized face
+    tiles at any face count; elsewhere the chunked XLA formulation below
+    runs. All agree exactly.
 
     Returns:
         (t, face_idx): t is +inf (and face_idx -1) where a ray escapes.
