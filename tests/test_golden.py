@@ -50,3 +50,33 @@ def test_golden_metadata_invariants(rendered):
     assert min(frames) == 10  # static event starts at 1.0 s -> frame 10
     assert classes == {8, 1}  # music + maleSpeech (DCASE2023Task3 ids)
     assert len(scene_dict["events"]) == 2
+
+
+def test_tracer_histogram_matches_golden():
+    """Frozen-key stochastic-tracer regression: the energy histogram for a
+    fixed PRNG key on a fixed nonconvex room is deterministic on CPU; any
+    drift in ray generation, bounce physics, occlusion, or binning breaks
+    this (threefry keys are stable across jax versions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiblelight_tpu.geometry.mesh import scanned_like_room
+    from audiblelight_tpu.rir.raytracer import trace_energy_histogram_multi
+
+    ref = np.load(FIXTURE_DIR / "golden_tracer_hist.npz")
+
+    m = scanned_like_room(
+        extents=(5.0, 4.0, 2.8), n_furniture=3, subdivision_levels=2, seed=21
+    )
+    tris = jnp.asarray(m.triangles)
+    f = tris.shape[0]
+    assert f == int(ref["faces"])
+    hist = trace_energy_histogram_multi(
+        jax.random.PRNGKey(1234), tris,
+        jnp.full((f, 4), 0.3, jnp.float32), jnp.full((f,), 0.4, jnp.float32),
+        jnp.asarray([[1.5, 1.2, 1.0], [3.5, 2.8, 1.6]], jnp.float32),
+        jnp.asarray([[2.5, 2.0, 1.4], [2.55, 2.0, 1.4]], jnp.float32),
+        n_sources=2, n_rays=512, max_depth=12, n_bins=128, bin_dt=0.002,
+        occlusion=True,
+    )
+    np.testing.assert_allclose(np.asarray(hist), ref["hist"], rtol=2e-5, atol=1e-12)
