@@ -183,9 +183,9 @@ def _fh_kernel(
 
             @pl.when(reachable)
             def _():
-                def group(i, c):
+                def group(gi, c):
                     bt, bi = c
-                    rows = pl.ds(tl * TILE_FACES + i * FACE_GROUP, FACE_GROUP)
+                    rows = pl.ds(tl * TILE_FACES + gi * FACE_GROUP, FACE_GROUP)
                     ax_ = face_ref[rows, 0:1]
                     ay_ = face_ref[rows, 1:2]
                     az_ = face_ref[rows, 2:3]
