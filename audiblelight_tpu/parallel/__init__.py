@@ -284,4 +284,74 @@ def shard_trace_rirs(
     return fn(source_positions, tri_normals)
 
 
-__all__ = ["init_distributed", "make_mesh", "pad_plans", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs"]
+
+
+def shard_convolve_time(
+    audio: jnp.ndarray, irs: jnp.ndarray, mesh: Mesh, axis: str = "scene"
+) -> jnp.ndarray:
+    """Time-axis-sharded convolution — this workload's context-parallel analog.
+
+    Long scenes convolve as overlap-save blocks (SURVEY §5's long-context
+    analog); here those TIME BLOCKS shard across chips: every device convolves
+    its own span of the dry signal after receiving an (ir_len - 1)-sample HALO
+    from its left neighbour over ICI (`jax.lax.ppermute` — the halo exchange a
+    context-parallel transformer would do for its attention window). Device d
+    then keeps exactly its span of the full linear convolution, so the
+    concatenated result equals fft_convolve on the unsharded signal.
+
+    Arguments:
+        audio: (n_samples,) dry signal; n_samples must divide by the mesh axis.
+        irs: (n_channels, ir_len) IR bank applied to the whole signal.
+        mesh: device mesh; `axis` names the mesh axis to shard time over.
+
+    Returns:
+        (n_channels, n_samples + ir_len - 1): full linear convolution, with the
+        tail (ir_len - 1 samples past the last block) included.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    t = audio.shape[-1]
+    if t % n:
+        raise ValueError(f"n_samples {t} must divide the '{axis}' axis size {n}")
+    ir_len = irs.shape[-1]
+    halo = ir_len - 1
+    if t // n < halo:
+        raise ValueError(
+            f"time blocks of {t // n} samples are shorter than the "
+            f"{halo}-sample halo; use fewer devices or longer audio"
+        )
+
+    def local(x_blk, h):
+        # x_blk: (1, t // n) this device's span; h: (C, ir_len) replicated
+        x_blk = x_blk[0]
+        left = jax.lax.ppermute(
+            x_blk[-halo:] if halo else x_blk[:0],
+            axis,
+            perm=[(i, i + 1) for i in range(n - 1)],
+        )  # device 0 receives zeros (no source) — correct leading boundary
+        from audiblelight_tpu.ops.convolve import fft_convolve
+
+        ext = jnp.concatenate([left, x_blk])
+        y = fft_convolve(ext, h)  # (C, halo + t//n + ir_len - 1)
+        keep = y[:, halo : halo + x_blk.shape[0]]  # this device's output span
+        # Tail beyond the span: the final device's overhang plus every
+        # device's contribution dying inside the next span is already covered
+        # by the neighbour's halo EXCEPT after the last device; gather it.
+        tail_local = y[:, halo + x_blk.shape[0] :]  # (C, ir_len - 1)
+        idx = jax.lax.axis_index(axis)
+        tail = jnp.where(idx == n - 1, tail_local, jnp.zeros_like(tail_local))
+        tail = jax.lax.psum(tail, axis)
+        return keep, tail
+
+    keep, tail = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, None)),
+        out_specs=(P(None, axis), P(None, None)),
+        check_rep=False,
+    )(audio.reshape(1, -1), irs)
+    return jnp.concatenate([keep, tail], axis=-1)
+
+
+__all__ = ["init_distributed", "make_mesh", "pad_plans", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs", "shard_convolve_time"]

@@ -253,3 +253,37 @@ def test_pad_plans_rejects_mismatched_channels(fg_dir):
     )
     with pytest.raises(ValueError, match="channel"):
         pad_plans([plan_a, plan_bad])
+
+
+def test_shard_convolve_time_matches_unsharded():
+    """Time-axis sharded overlap-save convolution (the context-parallel
+    analog): 8 devices each convolve one span after a ppermute halo exchange;
+    the assembled result equals fft_convolve on the whole signal."""
+    import jax.numpy as jnp
+
+    from audiblelight_tpu.ops.convolve import fft_convolve
+    from audiblelight_tpu.parallel import make_mesh, shard_convolve_time
+
+    rng = np.random.default_rng(0)
+    t, ir_len, c = 8 * 2048, 513, 4
+    audio = jnp.asarray(rng.standard_normal(t).astype(np.float32))
+    irs = jnp.asarray(0.1 * rng.standard_normal((c, ir_len)).astype(np.float32))
+
+    mesh = make_mesh(n_scene=8, n_chan=1)
+    y_sh = shard_convolve_time(audio, irs, mesh, axis="scene")
+    y_ref = fft_convolve(audio, irs)
+    assert y_sh.shape == y_ref.shape == (c, t + ir_len - 1)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=2e-4)
+
+
+def test_shard_convolve_time_validates_halo():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from audiblelight_tpu.parallel import make_mesh, shard_convolve_time
+
+    mesh = make_mesh(n_scene=8, n_chan=1)
+    audio = jnp.zeros(8 * 64)
+    irs = jnp.zeros((2, 256))
+    with _pytest.raises(ValueError):
+        shard_convolve_time(audio, irs, mesh, axis="scene")
