@@ -129,6 +129,18 @@ USE_TILED_FIRST_HIT = False
 # structure (geometry.grid) — O(cells crossed) per ray instead of O(F) — the
 # scanned-mesh regime; below it the dense VMEM-tiled Pallas kernels win.
 GRID_ACCEL_MIN_FACES = 16384
+# Face budget when the engine config's `mesh_simplification` field is True:
+# the stochastic energy tail traces a vertex-clustered acoustic LOD of the
+# room (geometry.mesh.TriMesh.simplified; ~30 cm cells on a 200 m^2 scan).
+# Planar surfaces cluster losslessly (the walls/floor that carry the specular
+# structure stay exact planes), sub-cell clutter is the statistical-scattering
+# regime, and the Sabine area correction (worldstate.mesh_backend
+# .face_props_device) preserves total absorbing power, i.e. RT60. The exact
+# direct path always uses the full mesh. Measured IR energy stays within
+# ~1 dB of the full-resolution trace (tests/test_simplification.py). Pass an
+# int to `mesh_simplification` for an explicit budget or a float for an
+# explicit voxel size.
+MESH_SIMPLIFICATION_TARGET_FACES = 4096
 # Device-mesh axis names used by audiblelight_tpu.parallel
 MESH_AXIS_SCENE = "scene"  # data-parallel axis over scenes
 MESH_AXIS_TIME = "time"  # within-scene axis (time blocks / capsule groups)

@@ -1102,21 +1102,35 @@ class Scene:
         metadata_fname: Optional[Union[str, Path]] = "metadata_out",
         video: bool = False,
         video_fname: Optional[Union[str, Path]] = "video_out",
+        compiled: bool = False,
     ) -> None:
-        """Render the scene to disk: per-mic WAVs, metadata JSON, DCASE CSVs."""
+        """Render the scene to disk: per-mic WAVs, metadata JSON, DCASE CSVs.
+
+        With `compiled=True` the audio renders through the production stem
+        pipeline (audiblelight_tpu.pipeline): the whole scene's events run as
+        one jitted device program and the host only mixes + writes — the path
+        bench.py measures and the dataset scripts use. The classic per-event
+        path additionally caches per-event spatial audio on the Event objects
+        (needed for dry-stem outputs); the compiled path does not.
+        """
         output_dir = self._sanitise_output_directory(output_dir)
         audio_path = (output_dir / audio_fname).with_suffix("")
         metadata_path = (output_dir / metadata_fname).with_suffix("")
         video_path = (output_dir / video_fname).with_suffix("")
 
         if audio:
-            from audiblelight_tpu.synthesize import (
-                generate_scene_audio_from_events,
-                render_audio_for_all_scene_events,
-            )
+            if compiled:
+                from audiblelight_tpu.pipeline import render_scene_audio_compiled
 
-            render_audio_for_all_scene_events(self)
-            generate_scene_audio_from_events(self)
+                self.audio = render_scene_audio_compiled(self)
+            else:
+                from audiblelight_tpu.synthesize import (
+                    generate_scene_audio_from_events,
+                    render_audio_for_all_scene_events,
+                )
+
+                render_audio_for_all_scene_events(self)
+                generate_scene_audio_from_events(self)
 
             for mic_alias, mic_audio in self.audio.items():
                 wav_write(

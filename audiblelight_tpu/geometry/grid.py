@@ -404,10 +404,15 @@ def _grid_any_hit_impl(
 
 
 def _max_steps(accel: GridAccel) -> int:
-    """Step bound: a full grid diagonal plus slack for heavy cells."""
+    """Worst-case step bound: every cell on the longest DDA march (bounded by
+    3x the dims sum) may cost ceil(faces_in_cell / FACES_PER_STEP) iterations.
+    The while_loop exits as soon as every ray resolves, so the generous bound
+    costs nothing at runtime — it only guarantees a ray crossing many heavy
+    cells can never exhaust the budget and silently return no-hit/unoccluded.
+    """
     diag = sum(accel.dims)
-    heavy = accel.max_cell_faces // FACES_PER_STEP + 1
-    return int(3 * diag + 8 * heavy + 16)
+    per_cell = max(1, -(-int(accel.max_cell_faces) // FACES_PER_STEP))
+    return int(3 * diag * per_cell + 16)
 
 
 def grid_first_hit(accel: GridAccel, origins, dirs):

@@ -272,6 +272,97 @@ class TriMesh:
             )
         return TriMesh(vertices, faces.astype(np.int32), dict(self.metadata))
 
+    def simplified(
+        self,
+        voxel: Optional[float] = None,
+        target_faces: Optional[int] = None,
+    ) -> "TriMesh":
+        """Vertex-clustering decimation for acoustic ray tracing.
+
+        Snaps vertices to a `voxel`-sized grid, merges each cluster to its mean
+        position, drops collapsed faces and deduplicates identical ones. With
+        `target_faces` instead, the voxel size is found by bisection so the
+        result lands at or under the budget.
+
+        This is the TPU-side analog of the reference rlr engine's
+        `mesh_simplification` config field (reference
+        tests/test_worldstate_rlr.py:810-835): sound at audio wavelengths
+        (>= 4 cm at 8 kHz) does not resolve centimetre surface detail — that
+        regime belongs to the scattering coefficient — so the energy tail can
+        trace against a coarsened surface. Clustering preserves topology (shared
+        edges stay shared, so a watertight enclosure stays closed) and biases no
+        direction; the DIRECT path must still be traced against the full mesh
+        (WorldStateRLR passes it separately).
+        """
+        if (voxel is None) == (target_faces is None):
+            raise ValueError("pass exactly one of voxel= or target_faces=")
+        # Instance-level memo: dataset generators share one TriMesh across many
+        # Scene/WorldState instances; decimating a 10^5-face scan costs ~1 s of
+        # host time, so the result is cached per (voxel|target) on this object.
+        # (TriMesh vertices are treated as immutable after load; mutating code
+        # paths construct new TriMesh objects.)
+        memo = getattr(self, "_simplify_memo", None)
+        if memo is None:
+            memo = self._simplify_memo = {}
+        memo_key = ("v", float(voxel)) if voxel is not None else ("t", int(target_faces))
+        if memo_key in memo:
+            return memo[memo_key]
+        if target_faces is not None:
+            if len(self.faces) <= target_faces:
+                return TriMesh(
+                    self.vertices.copy(), self.faces.copy(), dict(self.metadata)
+                )
+            extent = float(np.max(self.bounds[1] - self.bounds[0]))
+            lo, hi = extent / 4096.0, extent / 4.0  # bisect on voxel size
+            best = None
+            for _ in range(24):
+                mid = float(np.sqrt(lo * hi))  # geometric bisection
+                m = self.simplified(voxel=mid)
+                if len(m.faces) > target_faces:
+                    lo = mid
+                else:
+                    best = (mid, m)
+                    hi = mid
+                if hi / lo < 1.02:
+                    break
+            result = best[1] if best is not None else self.simplified(voxel=hi)
+            memo[memo_key] = result
+            return result
+
+        v = self.vertices
+        origin = v.min(axis=0)
+        key = np.floor((v - origin) / float(voxel)).astype(np.int64)
+        # Unique cluster per occupied voxel; representative = mean member position
+        _, cluster, counts = np.unique(
+            key, axis=0, return_inverse=True, return_counts=True
+        )
+        rep = np.zeros((len(counts), 3), dtype=np.float64)
+        np.add.at(rep, cluster, v)
+        rep /= counts[:, None]
+
+        f = cluster[self.faces]
+        # Drop faces collapsed to fewer than 3 distinct clusters
+        ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 2] != f[:, 0])
+        f = f[ok]
+        if len(f):
+            # Deduplicate winding-equivalent copies: canonical cyclic rotation
+            # (smallest index first) preserves orientation, so an opposite-wound
+            # twin (thin double-sided geometry) is NOT merged away.
+            argmin = np.argmin(f, axis=1)
+            canon = np.stack(
+                [np.take_along_axis(f, (argmin[:, None] + k) % 3, axis=1)[:, 0]
+                 for k in range(3)],
+                axis=1,
+            )
+            _, keep = np.unique(canon, axis=0, return_index=True)
+            f = f[np.sort(keep)]
+        meta = dict(self.metadata)
+        meta["simplified_from_faces"] = len(self.faces)
+        meta["simplified_voxel"] = float(voxel)
+        result = TriMesh(rep, f.astype(np.int32), meta)
+        memo[memo_key] = result
+        return result
+
     def jittered(self, amplitude: float, seed: int = 0) -> "TriMesh":
         """Displace vertices by uniform noise of +-`amplitude` (shared vertices
         move together, so watertightness is preserved) — a cheap stand-in for
@@ -394,9 +485,16 @@ def load_mesh(mesh_fpath: Union[str, Path]) -> TriMesh:
     # Unit coercion heuristic (the reference guesses units from extents for
     # every format via trimesh convert_units(guess=True), worldstate.py:66-71):
     # a building scan larger than 1000 m across is almost certainly
-    # millimetres, 100-1000 m likely centimetres.
+    # millimetres, 100-1000 m likely centimetres. glTF/GLB units are metres BY
+    # SPEC, so those formats are exempt from the centimetres rule (a
+    # legitimately large >100 m venue must not be silently rescaled 100x); the
+    # millimetres rule still applies everywhere because >1000 m scenes do not
+    # occur in this domain while mm-exported scans do.
     extent = np.max(mesh.bounds[1] - mesh.bounds[0])
-    factor = 1000.0 if extent > 1000.0 else (100.0 if extent > 100.0 else 1.0)
+    units_defined = suffix in (".glb", ".gltf")
+    factor = 1000.0 if extent > 1000.0 else (
+        100.0 if (extent > 100.0 and not units_defined) else 1.0
+    )
     if factor != 1.0:
         unit = "millimetres" if factor == 1000.0 else "centimetres"
         logger.warning(

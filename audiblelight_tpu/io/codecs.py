@@ -118,7 +118,25 @@ def mp3_read(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
                 chunks.append(np.frombuffer(buf.raw[: done.value], dtype=np.int16).copy())
             if rc == _MPG123_DONE:
                 break
-            if rc not in (_MPG123_OK, _MPG123_NEW_FORMAT):
+            if rc == _MPG123_NEW_FORMAT:
+                # Mid-stream renegotiation: re-query and reject a changed
+                # rate/channel count instead of deinterleaving the remainder
+                # with the stale layout (garbled channels / wrong rate).
+                new_rate = ctypes.c_long(0)
+                new_ch = ctypes.c_int(0)
+                new_enc = ctypes.c_int(0)
+                lib.mpg123_getformat(
+                    h, ctypes.byref(new_rate), ctypes.byref(new_ch), ctypes.byref(new_enc)
+                )
+                if (new_rate.value, new_ch.value) != (rate.value, channels.value):
+                    raise RuntimeError(
+                        f"MP3 stream {path} changed format mid-stream "
+                        f"({rate.value} Hz x {channels.value}ch -> "
+                        f"{new_rate.value} Hz x {new_ch.value}ch); refusing to "
+                        "decode a mixed-format stream."
+                    )
+                continue
+            if rc != _MPG123_OK:
                 raise RuntimeError(f"mpg123_read failed with code {rc} on {path}")
         flat = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int16)
         n = flat.size // channels.value

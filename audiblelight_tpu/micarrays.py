@@ -33,13 +33,14 @@ __all__ = [
     "AmbeoVR",
     "MICARRAY_LIST",
     "FOAListener",
+    "HOAListener",
     "dynamically_define_micarray",
     "CHANNEL_LAYOUT_TYPES",
     "ChannelLayout",
     "ChannelLayoutType",
 ]
 
-CHANNEL_LAYOUT_TYPES = ["mic", "foa", "binaural"]
+CHANNEL_LAYOUT_TYPES = ["mic", "foa", "binaural", "hoa2", "hoa3"]
 
 
 class ChannelLayoutType(Enum):
@@ -105,6 +106,10 @@ class MicArray:
             return ChannelLayout(ChannelLayoutType.Mono, 1)
         if self.channel_layout_type == "foa":
             return ChannelLayout(ChannelLayoutType.Ambisonics, 4)
+        if self.channel_layout_type == "hoa2":
+            return ChannelLayout(ChannelLayoutType.Ambisonics, 9)
+        if self.channel_layout_type == "hoa3":
+            return ChannelLayout(ChannelLayoutType.Ambisonics, 16)
         if self.channel_layout_type == "binaural":
             return ChannelLayout(ChannelLayoutType.Binaural, 2)
         raise ValueError(
@@ -121,7 +126,7 @@ class MicArray:
         """
         if self.channel_layout_type == "mic":
             return self.n_capsules
-        if self.channel_layout_type in ("foa", "binaural"):
+        if self.channel_layout_type in ("foa", "binaural", "hoa2", "hoa3"):
             return 1
         raise ValueError(
             f"Expected 'channel_layout_type' to be one of {', '.join(CHANNEL_LAYOUT_TYPES)}, "
@@ -320,6 +325,31 @@ class FOAListener(MicArray):
 
 
 @dataclass(repr=False, eq=False)
+class HOAListener(MicArray):
+    """Higher-order ambisonics listener: one point, ACN/SN3D channels.
+
+    Third order (16 channels) by default; pass channel_layout_type="hoa2" for
+    second order (9 channels). This is the layout through which the rlr
+    config's direct_sh_order/indirect_sh_order fields (reference
+    tests/test_worldstate_rlr.py:810-835) become audible: the tracer encodes
+    the direct path at min(direct_sh_order, layout order) and the stochastic
+    tail at min(indirect_sh_order, layout order).
+    """
+
+    name: str = "hoalistener"
+    is_spherical: bool = False
+    channel_layout_type: str = "hoa3"
+
+    @property
+    def coordinates_cartesian(self) -> np.ndarray:
+        return np.array([[0.0, 0.0, 0.0]])
+
+    @property
+    def capsule_names(self) -> list[str]:
+        return [f"acn{i}" for i in range(self.channel_layout.channel_count)]
+
+
+@dataclass(repr=False, eq=False)
 class AmbeoVR(MicArray):
     """Sennheiser AmbeoVR: 4 cardioid capsules in a tetrahedron, r = 1 cm."""
 
@@ -488,7 +518,7 @@ class Eigenmike64(MicArray):
         return [str(i) for i in range(1, 65)]
 
 
-MICARRAY_LIST = [Eigenmike32, Eigenmike64, AmbeoVR, MonoCapsule, Binaural, FOAListener]
+MICARRAY_LIST = [Eigenmike32, Eigenmike64, AmbeoVR, MonoCapsule, Binaural, FOAListener, HOAListener]
 MICARRAY_CLASS_MAPPING = {cls.__name__: cls for cls in MICARRAY_LIST}
 
 

@@ -308,8 +308,6 @@ def shard_convolve_time(
         (n_channels, n_samples + ir_len - 1): full linear convolution, with the
         tail (ir_len - 1 samples past the last block) included.
     """
-    from jax.experimental.shard_map import shard_map
-
     n = int(np.prod([mesh.shape[a] for a in (axis,)]))
     t = audio.shape[-1]
     if t % n:
@@ -344,12 +342,12 @@ def shard_convolve_time(
         tail = jax.lax.psum(tail, axis)
         return keep, tail
 
-    keep, tail = shard_map(
+    keep, tail = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, axis), P(None, None)),
         out_specs=(P(None, axis), P(None, None)),
-        check_rep=False,
+        check_vma=False,
     )(audio.reshape(1, -1), irs)
     return jnp.concatenate([keep, tail], axis=-1)
 

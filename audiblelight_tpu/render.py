@@ -301,17 +301,22 @@ def build_scene_plan(
     the next power-of-two-ish of the actual counts so similar scenes share a
     compiled program.
     """
-    try:
-        irs_dict = scene.state.irs
-    except AttributeError:
-        scene.state.simulate()
-        irs_dict = scene.state.irs
+    # Prefer the backend's device-resident trace (no host round trip for the
+    # IR banks — they go straight from the tracer into the stems program).
+    on_device = hasattr(scene.state, "trace_irs_device")
+    if on_device:
+        irs_dict = scene.state.trace_irs_device()
+        all_irs = jnp.concatenate(list(irs_dict.values()), axis=0)
+    else:
+        try:
+            irs_dict = scene.state.irs
+        except AttributeError:
+            scene.state.simulate()
+            irs_dict = scene.state.irs
+        all_irs = np.concatenate([np.asarray(v) for v in irs_dict.values()], axis=0)
 
     sr = scene.sample_rate
     t = round(scene.duration * sr)
-
-    # Channel-concatenate mic IRs: (C_total, E_total, L)
-    all_irs = np.concatenate([np.asarray(v) for v in irs_dict.values()], axis=0)
     c_total, _, ir_len = all_irs.shape
 
     statics, movings = [], []
@@ -354,6 +359,17 @@ def build_scene_plan(
     )
     fr = n_stft_frames(s)
 
+    def pack_irs_device(entries, n_slots, shape_tail, pick):
+        """Stack per-event device IR slices into a padded (n_slots, C, ...) bank."""
+        rows = [pick(e) for e in entries[:n_slots]]
+        if not rows:
+            return jnp.zeros((n_slots, c_total) + shape_tail, dtype=jnp.float32)
+        arr = jnp.stack(rows)
+        if arr.shape[0] < n_slots:
+            pad = [(0, n_slots - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+            arr = jnp.pad(arr, pad)
+        return arr
+
     static_audio = np.zeros((es, s), dtype=np.float32)
     static_irs = np.zeros((es, c_total, ir_len), dtype=np.float32)
     static_mask = np.zeros(es, dtype=np.float32)
@@ -364,7 +380,8 @@ def build_scene_plan(
     for i, e in enumerate(statics[:es]):
         n = min(e["length"], s)
         static_audio[i, :n] = e["audio"][:n]
-        static_irs[i] = e["irs"][:, 0, :]
+        if not on_device:
+            static_irs[i] = e["irs"][:, 0, :]
         static_mask[i] = 1.0
         static_snr[i] = e["snr"]
         static_start[i] = e["start"]
@@ -383,7 +400,8 @@ def build_scene_plan(
         n = min(e["length"], s)
         n_j = min(e["irs"].shape[1], j)
         moving_audio[i, :n] = e["audio"][:n]
-        moving_irs[i, :, :n_j, :] = e["irs"][:, :n_j, :]
+        if not on_device:
+            moving_irs[i, :, :n_j, :] = e["irs"][:, :n_j, :]
         ir_times = np.linspace(0, e["duration"], e["irs"].shape[1])[:n_j]
         w = interpolation_matrix(ir_times, sr, config.HOP_SIZE, fr)
         moving_w[i, :, :n_j] = w
@@ -399,6 +417,19 @@ def build_scene_plan(
         noise = amb.load_ambience(normalize=True)
         scale = 10 ** (amb.ref_db / 20.0) / (np.mean(np.abs(noise)) + utils.tiny(noise))
         ambience[: noise.shape[0]] += (scale * noise).astype(np.float32)
+
+    if on_device:
+        static_irs = pack_irs_device(
+            statics, es, (ir_len,), lambda e: e["irs"][:, 0, :]
+        )
+
+        def pick_moving(e):
+            r = e["irs"][:, : min(e["irs"].shape[1], j), :]
+            if r.shape[1] < j:
+                r = jnp.pad(r, ((0, 0), (0, j - r.shape[1]), (0, 0)))
+            return r
+
+        moving_irs = pack_irs_device(movings, em, (j, ir_len), pick_moving)
 
     return ScenePlan(
         static_audio=jnp.asarray(static_audio),

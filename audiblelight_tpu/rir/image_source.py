@@ -29,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiblelight_tpu import config
-from audiblelight_tpu.rir.sh import binaural_encoding_gains, foa_encoding_gains
+from audiblelight_tpu.rir.sh import (
+    ambisonic_encoding_gains,
+    binaural_encoding_gains,
+    encoding_channels,
+)
 
 
 def _image_grid(max_order: int) -> tuple[np.ndarray, np.ndarray]:
@@ -131,12 +135,7 @@ def shoebox_rirs(
 
     e = source_pos.shape[0]
     cl = listener_pos.shape[0]
-    if encoding == "foa":
-        c_out = 4
-    elif encoding == "binaural":
-        c_out = 2
-    else:
-        c_out = cl
+    c_out = encoding_channels(encoding, cl)
 
     def one_chunk(acc, inputs):
         n_c, q_c, valid_c = inputs  # (chunk, 3), (chunk, 3), (chunk,)
@@ -198,10 +197,12 @@ def shoebox_rirs(
             spec_add = jnp.sum(contrib, axis=2)  # (C, E, F)
         else:
             dirs = vec / jnp.maximum(dist[..., None], 1e-9)  # (1, E, chunk, 3)
-            if encoding == "foa":
-                enc = foa_encoding_gains(dirs[0])  # (E, chunk, 4)
-            else:
+            if encoding == "binaural":
                 enc = binaural_encoding_gains(dirs[0])  # (E, chunk, 2)
+            else:
+                # foa / sh{N}: encode at the layout's full order (the ISM has
+                # no direct/indirect split — every image is a discrete path)
+                enc = ambisonic_encoding_gains(dirs[0], 3, encoding)
             # (E, chunk, F) x (E, chunk, C_out) -> (C_out, E, F)
             spec_add = jnp.einsum(
                 "ekf,ekc->cef", contrib[0], enc.astype(jnp.complex64)

@@ -36,7 +36,11 @@ from audiblelight_tpu.geometry.queries import ray_mesh_first_hit, segments_occlu
 from audiblelight_tpu.ops.star_occlusion import star_segments_occluded
 from audiblelight_tpu.ops.tiled_first_hit import tiled_first_hit
 from audiblelight_tpu.ops.pallas_kernels import bin_histogram, deposit_histogram_pallas, pallas_supported
-from audiblelight_tpu.rir.sh import binaural_encoding_gains, foa_encoding_gains
+from audiblelight_tpu.rir.sh import (
+    ambisonic_encoding_gains as _ambi_gains,
+    binaural_encoding_gains,
+    encoding_channels as _encoding_channels,
+)
 
 
 def _use_fused_deposit() -> bool:
@@ -123,7 +127,7 @@ def _lazy_jit(fn, **jit_kwargs):
 
 @partial(
     _lazy_jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion", "transmission", "shared_visibility"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion", "transmission", "shared_visibility", "sh_order"),
 )
 def trace_energy_histogram(
     key: jax.Array,
@@ -147,6 +151,8 @@ def trace_energy_histogram(
     accel=None,
     star=None,
     mesh_tiles=None,
+    face_occlusion: jnp.ndarray = None,
+    sh_order: int = 1,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -175,6 +181,12 @@ def trace_energy_histogram(
             scale, so per-capsule visibility differs only for blockers grazing
             the array itself; set False for exact per-capsule queries (the
             reference rlr engine's per-listener behaviour).
+        face_occlusion: optional (C_occ, F) bool table — True where diffuse
+            rain from face f toward listener (or centroid when C_occ == 1) is
+            blocked, precomputed at the face centroids (WorldStateRLR's
+            "acoustic LOD" mode). When given, per-bounce visibility becomes a
+            gather by hit-face index instead of a ray query — exact up to the
+            within-face penumbra (faces are decimation-cell sized).
 
     Returns:
         (C_out, B, n_bins) histogram. For "omni", entries are pressure^2 energies.
@@ -186,12 +198,7 @@ def trace_energy_histogram(
         raise ValueError("transmission=True requires face_transmission (F, B)")
     n_bands = face_absorption.shape[1]
     cl = listener_pos.shape[0]
-    if encoding == "foa":
-        c_out = 4
-    elif encoding == "binaural":
-        c_out = 2
-    else:
-        c_out = cl
+    c_out = _encoding_channels(encoding, cl)
 
     key, k0 = jax.random.split(key)
     dirs0 = _sphere_directions(k0, n_rays)
@@ -251,7 +258,10 @@ def trace_energy_histogram(
         cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
 
         # Visibility: offset start off the surface to dodge self-intersection
-        if occlusion and star is not None and shared_visibility:
+        if occlusion and face_occlusion is not None:
+            # Precomputed per-face rain visibility: one gather per bounce
+            occ = jnp.broadcast_to(face_occlusion[:, face_safe], (cl, n_rays))
+        elif occlusion and star is not None and shared_visibility:
             # Azimuth-culled star kernel against the array centroid
             occ1 = star_segments_occluded(star, hit + 1e-4 * normal, jnp.mean(listener_pos, axis=0))
             occ = jnp.broadcast_to(occ1[None], (cl, n_rays))
@@ -298,10 +308,11 @@ def trace_energy_histogram(
             hist = hist + jnp.moveaxis(add, 1, 2)
         else:
             # Single listener; accumulate channel-weighted deposits
-            if encoding == "foa":
-                gains = foa_encoding_gains(dir_l[0])  # (R, 4)
-            else:
+            if encoding == "binaural":
                 gains = binaural_encoding_gains(dir_l[0])  # (R, 2)
+            else:
+                # foa / sh{N}: ambisonic gains at the tail's encode order
+                gains = _ambi_gains(dir_l[0], sh_order, encoding)  # (R, C_out)
             weighted = deposit[0][:, None, :] * gains[:, :, None]  # (R, C_out, B)
             add = bin_histogram(
                 bin_idx[0:1], weighted.reshape(1, n_rays, -1), n_bins
@@ -435,7 +446,7 @@ def _sinc_window_taps(n_taps: int = 64):
     return np.hanning(2 * n_taps + 1), n_taps
 
 
-@partial(jax.jit, static_argnames=("n_samples", "sr", "encoding"))
+@partial(jax.jit, static_argnames=("n_samples", "sr", "encoding", "sh_order"))
 def direct_path_ir(
     tris: jnp.ndarray,
     source_pos: jnp.ndarray,
@@ -445,9 +456,13 @@ def direct_path_ir(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     accel=None,
+    sh_order: int = 3,
 ) -> jnp.ndarray:
     """Exact direct-path contribution: windowed-sinc impulse at delay d/c with
-    amplitude visibility/(4 pi d), encoded per channel. Returns (C_out, n_samples)."""
+    amplitude visibility/(4 pi d), encoded per channel. For ambisonic encodings
+    ("foa"/"sh{N}") the direct path is encoded at `sh_order` (clipped to the
+    layout's order) — the reference rlr config's `direct_sh_order` semantics.
+    Returns (C_out, n_samples)."""
     listener_pos = jnp.atleast_2d(listener_pos)
     cl = listener_pos.shape[0]
 
@@ -457,14 +472,14 @@ def direct_path_ir(
     occ = segments_occluded(listener_pos, jnp.broadcast_to(source_pos, (cl, 3)), tris, accel=accel)
     amp = (~occ) / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
 
-    if encoding == "foa":
-        gains = foa_encoding_gains(dirs)[0]  # single listener: (4,)
-        amps = amp[0] * gains
-        delays = jnp.broadcast_to(d[0] * sr / c, (4,))
-    elif encoding == "binaural":
+    if encoding == "binaural":
         gains = binaural_encoding_gains(dirs)[0]
         amps = amp[0] * gains
         delays = jnp.broadcast_to(d[0] * sr / c, (2,))
+    elif encoding != "omni":
+        gains = _ambi_gains(dirs, sh_order, encoding)[0]  # single listener
+        amps = amp[0] * gains
+        delays = jnp.broadcast_to(d[0] * sr / c, gains.shape)
     else:
         amps = amp
         delays = d * sr / c
@@ -490,6 +505,46 @@ def direct_path_ir(
     return ir
 
 
+def face_rain_occlusion(
+    tris: jnp.ndarray,
+    tri_normals: jnp.ndarray,
+    listener_points: jnp.ndarray,
+    accel=None,
+    star=None,
+    face_chunk: int = 4096,
+) -> jnp.ndarray:
+    """Precompute per-face diffuse-rain visibility: (C_occ, F) bool, True where
+    the segment face-centroid -> listener point is blocked by the mesh.
+
+    The start point is offset off the surface on the LISTENER side (rain only
+    deposits when the listener lies on the hit normal's side, so that is the
+    side whose visibility matters). One query per (face, listener point),
+    amortised over every bounce of every source that traces this mesh — the
+    per-bounce visibility cost collapses to a gather by hit-face index.
+    """
+    listener_points = jnp.atleast_2d(listener_points).astype(jnp.float32)
+    centroids = jnp.mean(tris, axis=1)  # (F, 3)
+    rows = []
+    for i in range(listener_points.shape[0]):
+        lp = listener_points[i]
+        to_l = lp[None] - centroids
+        n_or = jnp.where(
+            (jnp.sum(tri_normals * to_l, axis=-1) >= 0)[:, None],
+            tri_normals,
+            -tri_normals,
+        )
+        starts = centroids + 1e-4 * n_or
+        if star is not None:
+            occ = star_segments_occluded(star, starts, lp)
+        else:
+            occ = segments_occluded(
+                starts, jnp.broadcast_to(lp, starts.shape), tris, face_chunk,
+                accel=accel,
+            )
+        rows.append(occ)
+    return jnp.stack(rows)
+
+
 def trace_rirs(
     key: jax.Array,
     tris: jnp.ndarray,
@@ -513,8 +568,16 @@ def trace_rirs(
     accel=None,
     star=None,
     mesh_tiles=None,
+    face_occlusion: jnp.ndarray = None,
+    tris_direct: jnp.ndarray = None,
+    sh_order_direct: int = 3,
+    sh_order_indirect: int = 1,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
+
+    `tris_direct` (default: `tris`) lets the exact direct path test occlusion
+    against the FULL-resolution mesh while the stochastic tail traces a
+    decimated acoustic mesh (WorldStateRLR's mesh_simplification mode).
 
     Returns (C_out, n_samples).
     """
@@ -542,6 +605,8 @@ def trace_rirs(
         accel=accel,
         star=star,
         mesh_tiles=mesh_tiles,
+        face_occlusion=face_occlusion,
+        sh_order=sh_order_indirect,
     )
     band_freqs = jnp.asarray(
         np.geomspace(125.0, 8000.0, face_absorption.shape[1])
@@ -552,15 +617,16 @@ def trace_rirs(
         k_synth, hist, band_freqs, n_samples, bin_dt, sr=sr, encoding=encoding
     )
     direct = direct_path_ir(
-        tris, source_pos, listener_pos, n_samples, sr=sr, c=c, encoding=encoding,
-        accel=accel,
+        tris if tris_direct is None else tris_direct,
+        source_pos, listener_pos, n_samples, sr=sr, c=c, encoding=encoding,
+        accel=accel, sh_order=sh_order_direct,
     )
     return tail + direct
 
 
 @partial(
     _lazy_jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "n_sources", "occlusion", "transmission", "shared_visibility"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "n_sources", "occlusion", "transmission", "shared_visibility", "sh_order"),
 )
 def trace_energy_histogram_multi(
     key: jax.Array,
@@ -585,6 +651,8 @@ def trace_energy_histogram_multi(
     accel=None,
     star=None,
     mesh_tiles=None,
+    face_occlusion: jnp.ndarray = None,
+    sh_order: int = 1,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
 
@@ -601,7 +669,7 @@ def trace_energy_histogram_multi(
         raise ValueError("transmission=True requires face_transmission (F, B)")
     n_bands = face_absorption.shape[1]
     cl = listener_pos.shape[0]
-    c_out = {"foa": 4, "binaural": 2}.get(encoding, cl)
+    c_out = _encoding_channels(encoding, cl)
 
     total_rays = n_sources * n_rays
     key, k0 = jax.random.split(key)
@@ -651,7 +719,11 @@ def trace_energy_histogram_multi(
         else:
             e_refl = e_nonabs
 
-        if occlusion and star is not None and shared_visibility:
+        if occlusion and face_occlusion is not None:
+            # Precomputed per-face rain visibility: one gather per bounce (see
+            # trace_energy_histogram's face_occlusion doc)
+            occ = jnp.broadcast_to(face_occlusion[:, face_safe], (cl, total_rays))
+        elif occlusion and star is not None and shared_visibility:
             occ1 = star_segments_occluded(star, hit + 1e-4 * normal, jnp.mean(listener_pos, axis=0))
             occ = jnp.broadcast_to(occ1[None], (cl, total_rays))
         elif occlusion and star is not None:
@@ -723,10 +795,10 @@ def trace_energy_histogram_multi(
                 add.reshape(cl, n_sources, n_bins, n_bands), (1, 0, 3, 2)
             )
         else:
-            if encoding == "foa":
-                gains = foa_encoding_gains(dir_l[0])  # (TR, 4)
-            else:
+            if encoding == "binaural":
                 gains = binaural_encoding_gains(dir_l[0])  # (TR, 2)
+            else:
+                gains = _ambi_gains(dir_l[0], sh_order, encoding)  # (TR, C_out)
             weighted = deposit[0][:, None, :] * gains[:, :, None]  # (TR, C_out, B)
             add = bin_histogram(
                 bin_idx[0].reshape(n_sources, n_rays),
@@ -798,8 +870,15 @@ def trace_rirs_multi(
     accel=None,
     star=None,
     mesh_tiles=None,
+    face_occlusion: jnp.ndarray = None,
+    tris_direct: jnp.ndarray = None,
+    sh_order_direct: int = 3,
+    sh_order_indirect: int = 1,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
+
+    `face_occlusion`/`tris_direct` as in trace_rirs: precomputed per-face rain
+    visibility for the tail, full-resolution mesh for the exact direct path.
 
     Returns (C_out, E, n_samples).
     """
@@ -831,6 +910,8 @@ def trace_rirs_multi(
         accel=accel,
         star=star,
         mesh_tiles=mesh_tiles,
+        face_occlusion=face_occlusion,
+        sh_order=sh_order_indirect,
     )  # (E, C_out, B, bins)
 
     band_freqs = jnp.asarray(
@@ -847,7 +928,9 @@ def trace_rirs_multi(
 
     directs = jax.vmap(
         lambda src: direct_path_ir(
-            tris, src, listener_pos, n_samples, sr=sr, c=c, encoding=encoding, accel=accel
+            tris if tris_direct is None else tris_direct,
+            src, listener_pos, n_samples, sr=sr, c=c, encoding=encoding,
+            accel=accel, sh_order=sh_order_direct,
         )
     )(source_positions)  # (E, C_out, S)
 
@@ -858,6 +941,7 @@ __all__ = [
     "trace_energy_histogram",
     "synthesize_ir_from_histogram",
     "direct_path_ir",
+    "face_rain_occlusion",
     "trace_rirs",
     "trace_rirs_multi",
 ]

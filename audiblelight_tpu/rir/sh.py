@@ -53,6 +53,45 @@ def sh_real(order: int, dirs: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(comps, axis=-1)
 
 
+def encoding_channels(encoding: str, cl: int) -> int:
+    """Output channel count for a tracer/ISM encoding string.
+
+    "omni" -> one channel per capsule; "foa" -> 4 (AmbiX WXYZ, the reference
+    FOAListener layout); "binaural" -> 2; "sh{N}" -> (N+1)^2 ACN/SN3D
+    ambisonics of order N <= 3 (the higher-order layouts the reference rlr
+    config's direct/indirect_sh_order fields address).
+    """
+    if encoding == "foa":
+        return 4
+    if encoding == "binaural":
+        return 2
+    if encoding.startswith("sh"):
+        order = int(encoding[2:])
+        if not 0 <= order <= 3:
+            raise ValueError(f"sh encoding order must be 0..3, got {order}")
+        return (order + 1) ** 2
+    return cl
+
+
+def ambisonic_encoding_gains(
+    dirs: jnp.ndarray, encode_order: int, encoding: str
+) -> jnp.ndarray:
+    """Per-direction ambisonic gains encoded at `encode_order`, zero-padded to
+    the layout's channel count. For "foa" the channels are permuted from ACN
+    [W, Y, Z, X] to the reference FOAListener order [W, X, Y, Z]."""
+    c_out = encoding_channels(encoding, 1)
+    layout_order = int(round(c_out**0.5)) - 1
+    encode_order = max(0, min(int(encode_order), layout_order))
+    g = sh_real(encode_order, dirs)  # (..., (eo+1)^2) ACN
+    if g.shape[-1] < c_out:
+        g = jnp.concatenate(
+            [g, jnp.zeros(g.shape[:-1] + (c_out - g.shape[-1],), g.dtype)], axis=-1
+        )
+    if encoding == "foa":
+        g = g[..., jnp.asarray([0, 3, 1, 2])]
+    return g
+
+
 def foa_encoding_gains(dirs: jnp.ndarray) -> jnp.ndarray:
     """AmbiX (SN3D) first-order gains (W, X, Y, Z) for arrival directions.
 

@@ -57,10 +57,28 @@ _ENGINE_FIELD_DEFAULTS = {
     "thread_count": 1,
     "diffraction": False,
     "transmission": False,
+    # Acoustic LOD for the stochastic tail (the reference rlr config's
+    # `mesh_simplification` field): False = trace the full mesh; True = decimate
+    # to config.MESH_SIMPLIFICATION_TARGET_FACES by vertex clustering; an int =
+    # explicit face budget; a float = explicit clustering voxel size in metres.
+    # The exact direct path ALWAYS uses the full mesh (geometry.mesh.TriMesh
+    # .simplified documents the acoustics argument).
     "mesh_simplification": False,
     "temporal_coherence": False,
     "dmin": 1.0,
     "hist_bin_dt": 0.002,
+    # Diffuse-rain visibility mode: "exact" = per-hit-point ray queries (the
+    # reference rlr shadow-ray behaviour); "face" = precomputed per-face
+    # centroid visibility, one gather per bounce (exact up to the within-face
+    # penumbra); "auto" = "face" whenever mesh_simplification is active (the
+    # fast acoustic-LOD mode), "exact" otherwise.
+    "rain_visibility": "auto",
+    # Pad the traced source count to the next power of two so dataset runs with
+    # varying event counts reuse ONE compiled trace program per bucket instead
+    # of recompiling per scene (XLA compiles per shape; through a remote-compile
+    # link each new shape costs minutes). Dummy sources are sliced away after
+    # tracing; results only differ by the stochastic tail's PRNG realisation.
+    "source_bucketing": True,
     # TPU-specific: one diffuse-rain visibility query per hit point against the
     # array centroid instead of per capsule (see rir.raytracer
     # trace_energy_histogram's shared_visibility doc). False = exact
@@ -199,6 +217,15 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 f"Mismatching sample rate (expected {self.sample_rate}, "
                 f"got {rlr_kwargs['sample_rate']})"
             )
+        # Fields accepted for reference-config parity but WITHOUT effect in
+        # this engine must fail loudly rather than silently (a user porting a
+        # reference config should know their knob is inert here).
+        for field, default in (("temporal_coherence", False), ("dmin", 1.0)):
+            if field in rlr_kwargs and rlr_kwargs[field] != default:
+                logger.warning(
+                    f"rlr config field '{field}'={rlr_kwargs[field]!r} is accepted "
+                    "for serialisation parity but has NO effect in the TPU tracer."
+                )
         return _EngineConfig(**rlr_kwargs)
 
     @property
@@ -225,12 +252,33 @@ class WorldStateRLR(PlacementMixin, WorldState):
             self._native_bvh_failed = True
             return None
 
+    def _mesh_fingerprint(self) -> tuple:
+        """Cheap identity for the current mesh geometry: face count + bounds +
+        vertex-sum hash. Any accel structure derived from the triangles keys on
+        this, so a mutated/replaced mesh can never trace against stale
+        grid/star/tile caches."""
+        v = self.mesh.vertices
+        return (
+            len(self.mesh.faces),
+            tuple(np.round(self.mesh.bounds.ravel(), 6).tolist()),
+            float(np.sum(v, dtype=np.float64)),
+        )
+
     @property
     def tris_device(self) -> jnp.ndarray:
-        """(F, 3, 3) float32 triangle array on device (cached)."""
-        if self._tris_device is None or self._tris_device.shape[0] != len(self.mesh.faces):
+        """(F, 3, 3) float32 triangle array on device (cached, fingerprint-keyed)."""
+        fp = self._mesh_fingerprint()
+        if self._tris_device is None or getattr(self, "_tris_fp", None) != fp:
             self._tris_device = jnp.asarray(self.mesh.triangles.astype(np.float32))
+            self._tris_fp = fp
+            # Every derived acceleration structure is stale with the mesh
             self._grid_accel = None
+            self._mesh_tiles = None
+            self._star_accels = {}
+            self._face_props_device = None
+            self._acoustic_mesh_cache = None
+            self._acoustic_tris_device = None
+            self._rain_occ_cache = {}
         return self._tris_device
 
     @property
@@ -241,6 +289,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
         the dense kernels stop being viable in); None for small meshes, where
         the Pallas dense kernels win. Rebuilt if the face count changes.
         """
+        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
         if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES:
             return None
         if getattr(self, "_grid_accel", None) is None:
@@ -254,6 +303,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
     def mesh_tiles(self):
         """Morton-tiled face layout for reachability-culled first hits
         (large meshes on TPU backends only; None elsewhere)."""
+        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
         if not getattr(config, "USE_TILED_FIRST_HIT", True):
             return None
         if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES:
@@ -269,15 +319,87 @@ class WorldStateRLR(PlacementMixin, WorldState):
             logger.info(f"Built first-hit tile structure: {self._mesh_tiles}")
         return self._mesh_tiles
 
+    @property
+    def acoustic_mesh(self) -> TriMesh:
+        """The mesh the stochastic energy tail traces against.
+
+        With cfg.mesh_simplification active this is a vertex-clustered
+        decimation of the full mesh (see TriMesh.simplified for the acoustics
+        rationale); otherwise the full mesh itself. Placement queries and the
+        exact direct path always use the full mesh.
+        """
+        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
+        ms = self.cfg.mesh_simplification
+        if not ms:
+            return self.mesh
+        if getattr(self, "_acoustic_mesh_cache", None) is None:
+            if ms is True:
+                simplified = self.mesh.simplified(
+                    target_faces=config.MESH_SIMPLIFICATION_TARGET_FACES
+                )
+            elif isinstance(ms, bool):  # pragma: no cover — ms is True above
+                simplified = self.mesh
+            elif isinstance(ms, int):
+                simplified = self.mesh.simplified(target_faces=int(ms))
+            elif isinstance(ms, float):
+                simplified = self.mesh.simplified(voxel=float(ms))
+            else:
+                raise ValueError(
+                    f"mesh_simplification must be a bool, int face budget or "
+                    f"float voxel size, got {ms!r}"
+                )
+            logger.info(
+                f"Acoustic mesh: {len(self.mesh.faces)} -> {len(simplified.faces)} "
+                f"faces (voxel {simplified.metadata.get('simplified_voxel', 0):.3f} m)"
+            )
+            self._acoustic_mesh_cache = simplified
+        return self._acoustic_mesh_cache
+
+    @property
+    def acoustic_tris_device(self) -> jnp.ndarray:
+        """(F', 3, 3) float32 acoustic-mesh triangles on device (cached)."""
+        amesh = self.acoustic_mesh
+        if amesh is self.mesh:
+            return self.tris_device
+        cached = getattr(self, "_acoustic_tris_device", None)
+        if cached is None or cached.shape[0] != len(amesh.faces):
+            self._acoustic_tris_device = jnp.asarray(
+                amesh.triangles.astype(np.float32)
+            )
+        return self._acoustic_tris_device
+
+    def rain_occlusion_for(self, listener_points: np.ndarray) -> jnp.ndarray:
+        """Cached (C_occ, F') per-face rain-occlusion table for the acoustic
+        mesh (see rir.raytracer.face_rain_occlusion)."""
+        from audiblelight_tpu.rir.raytracer import face_rain_occlusion
+
+        listener_points = np.atleast_2d(np.asarray(listener_points, dtype=np.float64))
+        key = tuple(np.round(listener_points, 4).ravel().tolist())
+        cache = getattr(self, "_rain_occ_cache", None)
+        if cache is None:
+            cache = self._rain_occ_cache = {}
+        if key not in cache:
+            amesh = self.acoustic_mesh
+            tris = self.acoustic_tris_device
+            normals = jnp.asarray(amesh.face_normals.astype(np.float32))
+            cache[key] = face_rain_occlusion(
+                tris, normals, jnp.asarray(listener_points, dtype=jnp.float32)
+            )
+        return cache[key]
+
     def star_accel_for(self, center: np.ndarray, r_pad: float):
         """Azimuth-culled occlusion layout for one listener centre (cached).
 
         Only pays on large nonconvex meshes (the scanned-room regime); None
         otherwise, and callers fall back to the dense kernels.
         """
+        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
         if not getattr(config, "USE_STAR_OCCLUSION", True):
             return None
-        if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES or self.mesh.is_convex:
+        # The star layout serves the tracer's rain occlusion, which runs on the
+        # ACOUSTIC mesh; below the threshold the dense kernels win.
+        amesh = self.acoustic_mesh
+        if len(amesh.faces) < config.GRID_ACCEL_MIN_FACES or self.mesh.is_convex:
             return None
         from audiblelight_tpu.ops.pallas_kernels import pallas_supported
 
@@ -291,7 +413,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
             from audiblelight_tpu.ops.star_occlusion import build_star_accel
 
             cache[key] = build_star_accel(
-                self.mesh.triangles.astype(np.float32), np.asarray(center), r_pad
+                amesh.triangles.astype(np.float32), np.asarray(center), r_pad
             )
             if cache[key] is not None:
                 logger.info(f"Built occlusion structure: {cache[key]}")
@@ -300,13 +422,26 @@ class WorldStateRLR(PlacementMixin, WorldState):
     @property
     def face_props_device(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Per-face (absorption (F, B), scattering (F,), transmission (F, B))
-        device arrays."""
+        device arrays, sized to the ACOUSTIC mesh (the one the tail traces)."""
+        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
         if self._face_props_device is None:
-            n_faces = len(self.mesh.faces)
+            amesh = self.acoustic_mesh
+            n_faces = len(amesh.faces)
             bands = octave_band_centers(int(self.cfg.frequency_bands))
             alpha = get_material_absorption(self.material, bands)
             scat = get_material_scattering(self.material)
             tau = get_material_transmission(self.material, bands)
+            if amesh is not self.mesh and amesh.area > 0:
+                # Sabine-consistent decimation: clustering shrinks total surface
+                # area, which would lengthen the energy decay. Scaling the
+                # absorption coefficient by the area ratio preserves the total
+                # absorbing power (sum area_f * alpha_f) and hence RT60.
+                alpha = np.clip(
+                    np.asarray(alpha, dtype=np.float32)
+                    * float(self.mesh.area / amesh.area),
+                    0.0,
+                    1.0,
+                )
             # Diffraction story: the stochastic tracer has no explicit edge
             # diffraction (the reference's rlr engine models it via its beam
             # tracer). With cfg.diffraction on, the established first-order
@@ -539,11 +674,70 @@ class WorldStateRLR(PlacementMixin, WorldState):
         ]
         return np.stack(coords) if coords else np.zeros((0, 3))
 
+    def _rain_mode(self) -> str:
+        """Resolve cfg.rain_visibility ("auto" follows mesh_simplification)."""
+        mode = str(self.cfg.rain_visibility)
+        if mode == "auto":
+            return "face" if bool(self.cfg.mesh_simplification) else "exact"
+        if mode not in ("exact", "face"):
+            raise ValueError(f"rain_visibility must be exact|face|auto, got {mode!r}")
+        return mode
+
     def get_irs(self) -> OrderedDict[str, np.ndarray]:
-        """Trace and return {mic_alias: (n_capsules, n_emitters, n_samples)}."""
+        """Trace and return {mic_alias: (n_capsules, n_emitters, n_samples)}
+        as host numpy arrays (also cached on each mic as `mic.irs`)."""
+        out = OrderedDict()
+        for alias, irs_dev in self.trace_irs_device().items():
+            arr = np.asarray(irs_dev)
+            self.microphones[alias].irs = arr
+            out[alias] = arr
+        return out
+
+    def trace_irs_device(self) -> OrderedDict[str, jnp.ndarray]:
+        """Trace RIRs, returning DEVICE arrays {mic_alias: (C, E, S)}.
+
+        The compiled render pipeline (audiblelight_tpu.pipeline) consumes these
+        directly so IR banks never round-trip through the host between tracing
+        and convolution — on a production PCIe link that saves a copy; through
+        a development tunnel it saves seconds per scene. `get_irs` is the
+        host-materialised view of the same trace.
+        """
+        self._update()
+        self._simulation_sanity_check()
+        # One trace per (emitters, microphones) configuration: simulate()
+        # followed by a compiled-plan build must not trace twice.
+        cache_key = (
+            tuple(np.round(self._emitter_positions().ravel(), 6).tolist()),
+            tuple(
+                (a, m.name, tuple(np.round(np.ravel(m.coordinates_absolute), 6).tolist()))
+                for a, m in self.microphones.items()
+            ),
+        )
+        cached = getattr(self, "_irs_device_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1]
         absorption, scattering, face_tau = self.face_props_device
-        sources = jnp.asarray(self._emitter_positions(), dtype=jnp.float32)
+        src_np = self._emitter_positions().astype(np.float32)
+        n_src = len(src_np)
+        if bool(getattr(self.cfg, "source_bucketing", True)) and n_src > 0:
+            bucket = 1
+            while bucket < n_src:
+                bucket *= 2
+            if bucket > n_src:
+                # Dummy sources repeat the first real one (guaranteed interior)
+                src_np = np.concatenate(
+                    [src_np, np.tile(src_np[:1], (bucket - n_src, 1))]
+                )
+        sources = jnp.asarray(src_np, dtype=jnp.float32)
         n_samples = int(round(float(self.cfg.max_ir_length) * self.sample_rate))
+
+        # The stochastic tail traces the acoustic mesh (possibly a decimated
+        # LOD, see acoustic_mesh); the exact direct path always uses the full
+        # mesh. Tiles are keyed to the full mesh, so they only ride along when
+        # the two coincide.
+        atris = self.acoustic_tris_device
+        simplified = atris is not self.tris_device
+        rain_mode = self._rain_mode()
 
         out = OrderedDict()
         for alias, mic in self.microphones.items():
@@ -556,23 +750,33 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 listeners = jnp.asarray(
                     utils.coerce2d(mic.coordinates_center), dtype=jnp.float32
                 )
-                encoding = "foa" if mic.channel_layout_type == "foa" else "binaural"
+                encoding = {
+                    "foa": "foa", "hoa2": "sh2", "hoa3": "sh3",
+                }.get(mic.channel_layout_type, "binaural")
 
-            # Star-occlusion layout centred on this mic (scanned rooms only)
             caps = np.atleast_2d(np.asarray(
                 utils.coerce2d(mic.coordinates_absolute), dtype=np.float64
             ))
             center = caps.mean(axis=0)
-            if bool(self.cfg.shared_visibility):
-                star = self.star_accel_for(center, r_pad=0.02)
-            else:
-                r_pad = float(np.linalg.norm(caps - center, axis=1).max()) + 0.02
-                star = self.star_accel_for(center, r_pad=r_pad)
+
+            star = None
+            face_occ = None
+            if not self.mesh.is_convex:
+                if rain_mode == "face":
+                    # Per-face rain-visibility table: one precomputed query per
+                    # acoustic face, then a gather per bounce.
+                    pts = center[None] if bool(self.cfg.shared_visibility) else np.asarray(listeners)
+                    face_occ = self.rain_occlusion_for(pts)
+                elif bool(self.cfg.shared_visibility):
+                    star = self.star_accel_for(center, r_pad=0.02)
+                else:
+                    r_pad = float(np.linalg.norm(caps - center, axis=1).max()) + 0.02
+                    star = self.star_accel_for(center, r_pad=r_pad)
 
             self._key, sub = jax.random.split(self._key)
             irs = trace_rirs_multi(
                 sub,
-                self.tris_device,
+                atris,
                 absorption,
                 scattering,
                 sources,
@@ -591,7 +795,14 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 transmission=bool(self.cfg.transmission),
                 shared_visibility=bool(self.cfg.shared_visibility),
                 star=star,
-                mesh_tiles=self.mesh_tiles,
+                face_occlusion=face_occ,
+                mesh_tiles=None if simplified else self.mesh_tiles,
+                tris_direct=self.tris_device if simplified else None,
+                # rlr config SH-order semantics: the direct path and the
+                # stochastic tail encode at their configured orders, clipped
+                # to the listener layout's order inside the tracer.
+                sh_order_direct=int(self.cfg.direct_sh_order),
+                sh_order_indirect=int(self.cfg.indirect_sh_order),
                 # Bounce-loop queries run the dense streamed Pallas kernels at
                 # any face count: rays leaving SURFACES graze face-dense cells,
                 # where the uniform-grid DDA degenerates to hundreds of
@@ -601,9 +812,8 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 # create_scene raycasts.
                 accel=None,
             )
-            arr = np.asarray(irs)
-            mic.irs = arr
-            out[alias] = arr
+            out[alias] = irs[:, :n_src, :]  # drop bucketing dummies (on device)
+        self._irs_device_cache = (cache_key, out)
         return out
 
     # ------------------------------------------------------------------

@@ -187,7 +187,9 @@ class WorldStateShoebox(PlacementMixin, WorldState):
                 listeners = jnp.asarray(
                     utils.coerce2d(mic.coordinates_center), dtype=jnp.float32
                 )
-                encoding = "foa" if mic.channel_layout_type == "foa" else "binaural"
+                encoding = {
+                    "foa": "foa", "hoa2": "sh2", "hoa3": "sh3",
+                }.get(mic.channel_layout_type, "binaural")
 
             irs = shoebox_rirs(
                 jnp.asarray(self.dimensions, dtype=jnp.float32),

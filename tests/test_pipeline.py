@@ -1,0 +1,175 @@
+"""The unified production pipeline (audiblelight_tpu.pipeline).
+
+Asserts that Scene.generate(compiled=True), the pipelined dataset driver and
+the classic per-event path all produce the same audio (reference has one
+path, synthesize.py:613-677; here the compiled path IS the production and
+bench path, so its parity is CI-enforced).
+"""
+
+import numpy as np
+import pytest
+
+from audiblelight_tpu import Scene
+from audiblelight_tpu.io.audio import wav_read, wav_write
+from audiblelight_tpu.pipeline import (
+    render_scene_audio_compiled,
+    render_scenes_pipelined,
+)
+
+SR = 44100
+
+
+@pytest.fixture(scope="module")
+def fg_dir(tmp_path_factory):
+    rng = np.random.default_rng(1)
+    root = tmp_path_factory.mktemp("fg")
+    for cls, freq in [("maleSpeech", 220.0), ("music", 660.0)]:
+        d = root / cls
+        d.mkdir()
+        t = np.arange(SR * 3) / SR
+        sig = 0.5 * np.sin(2 * np.pi * freq * t) * np.exp(-t * 0.5)
+        sig += 0.01 * rng.standard_normal(len(t))
+        wav_write(d / f"{cls}.wav", sig.astype(np.float32), SR)
+    return root
+
+
+def make_scene(fg_dir, seed=0):
+    scene = Scene(
+        duration=8.0,
+        backend="shoebox",
+        fg_path=fg_dir,
+        backend_kwargs=dict(
+            dimensions=[6.0, 4.0, 3.0], max_order=4, max_ir_length=0.15,
+            frequency_bands=1, seed=seed,
+        ),
+    )
+    scene.add_microphone(microphone_type="ambeovr", position=[3.0, 2.0, 1.5], alias="m")
+    # Explicit filepaths: the scene-level "pick a random fg file" draw comes
+    # from an unseeded stream, and these parity tests build several Scenes
+    scene.add_event(
+        event_type="static", position=[1.0, 1.0, 1.0], alias="s0",
+        scene_start=1.0, event_start=0.0, duration=2.0, snr=10.0,
+        filepath=fg_dir / "maleSpeech" / "maleSpeech.wav",
+    )
+    scene.add_event(
+        event_type="moving", alias="m0", shape="linear",
+        scene_start=4.0, event_start=0.0, duration=2.0, snr=8.0,
+        spatial_velocity=1.0, spatial_resolution=2.0,
+        filepath=fg_dir / "music" / "music.wav",
+    )
+    scene.add_ambience(noise="pink")
+    return scene
+
+
+def _classic_audio(scene):
+    from audiblelight_tpu.synthesize import (
+        generate_scene_audio_from_events,
+        render_audio_for_all_scene_events,
+    )
+
+    render_audio_for_all_scene_events(scene)
+    generate_scene_audio_from_events(scene)
+    return scene.audio["m"]
+
+
+def test_compiled_path_matches_classic(fg_dir):
+    ref = _classic_audio(make_scene(fg_dir))
+    out = render_scene_audio_compiled(make_scene(fg_dir))["m"]
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(out - ref)) / scale < 5e-3  # int16 stem quantisation
+
+
+def test_scene_generate_compiled_writes_same_wavs(fg_dir, tmp_path):
+    a = tmp_path / "classic"
+    b = tmp_path / "compiled"
+    a.mkdir(), b.mkdir()
+    make_scene(fg_dir).generate(
+        output_dir=a, audio=True, metadata_json=True, metadata_dcase=True
+    )
+    make_scene(fg_dir).generate(
+        output_dir=b, audio=True, metadata_json=True, metadata_dcase=True,
+        compiled=True,
+    )
+    wav_a, sr_a = wav_read(a / "audio_out_m.wav")
+    wav_b, sr_b = wav_read(b / "audio_out_m.wav")
+    assert sr_a == sr_b and wav_a.shape == wav_b.shape
+    scale = np.abs(wav_a).max()
+    assert np.max(np.abs(wav_a - wav_b)) / scale < 5e-3
+    # metadata side outputs identical
+    assert (a / "metadata_out_m.csv").read_text() == (b / "metadata_out_m.csv").read_text()
+
+
+def make_rlr_scene(fg_dir, seed=0):
+    """Ray-traced backend scene: exercises the DEVICE-resident IR plan path
+    (trace_irs_device -> build_scene_plan packs IRs without a host round trip)."""
+    from audiblelight_tpu.geometry.mesh import box_mesh
+
+    scene = Scene(
+        duration=6.0, sample_rate=24000, backend="rlr",
+        fg_path=fg_dir,
+        backend_kwargs=dict(
+            mesh=box_mesh(extents=[6.0, 4.0, 3.0], center=[3.0, 2.0, 1.5]),
+            seed=seed,
+            rlr_kwargs=dict(
+                indirect_ray_count=200, indirect_ray_depth=6, max_ir_length=0.15,
+            ),
+        ),
+    )
+    scene.add_microphone(microphone_type="ambeovr", position=[3.0, 2.0, 1.5], alias="m")
+    scene.add_event(
+        event_type="static", position=[1.0, 1.0, 1.0], alias="s0",
+        scene_start=1.0, event_start=0.0, duration=2.0, snr=10.0,
+        filepath=fg_dir / "maleSpeech" / "maleSpeech.wav",
+    )
+    scene.add_event(
+        event_type="moving", alias="m0", shape="linear",
+        scene_start=3.0, event_start=0.0, duration=2.0, snr=8.0,
+        spatial_velocity=1.0, spatial_resolution=2.0,
+        filepath=fg_dir / "music" / "music.wav",
+    )
+    return scene
+
+
+def test_compiled_path_matches_classic_rlr(fg_dir):
+    """Device-IR plan packing equals the classic numpy path on the ray-traced
+    backend (identical tracer PRNG: both scenes are constructed identically)."""
+    ref_scene = make_rlr_scene(fg_dir)
+    from audiblelight_tpu.synthesize import (
+        generate_scene_audio_from_events,
+        render_audio_for_all_scene_events,
+    )
+
+    render_audio_for_all_scene_events(ref_scene)
+    generate_scene_audio_from_events(ref_scene)
+    ref = ref_scene.audio["m"]
+
+    out = render_scene_audio_compiled(make_rlr_scene(fg_dir))["m"]
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(out - ref)) / scale < 5e-3
+
+
+def test_trace_irs_device_cached(fg_dir):
+    scene = make_rlr_scene(fg_dir)
+    d1 = scene.state.trace_irs_device()
+    d2 = scene.state.trace_irs_device()
+    assert d1["m"] is d2["m"]  # second call returns the cached device arrays
+    scene.state.add_emitter(alias="extra", position=[2.0, 3.0, 1.0], keep_existing=True)
+    d3 = scene.state.trace_irs_device()
+    assert d3["m"].shape[1] == d1["m"].shape[1] + 1  # cache invalidated
+
+
+def test_render_scenes_pipelined_matches_single(fg_dir):
+    scenes = [make_scene(fg_dir, seed=i) for i in range(3)]
+    singles = [render_scene_audio_compiled(make_scene(fg_dir, seed=i))["m"] for i in range(3)]
+    got = {}
+
+    def complete(scene, audio):
+        got[id(scene)] = audio["m"]
+
+    n = render_scenes_pipelined(iter(scenes), complete, max_in_flight=2)
+    assert n == 3
+    outs = [got[id(s)] for s in scenes]
+    for single, out in zip(singles, outs):
+        np.testing.assert_allclose(single, out, atol=1e-7)
