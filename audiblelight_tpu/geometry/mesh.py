@@ -37,6 +37,9 @@ class TriMesh:
         self.metadata = metadata or {}
         self.units = units
         self._tri_cache = None
+        # Optional material layer (io.gltf.MeshVisuals) attached by load_mesh
+        # for texture-mapped panorama rendering; None for untextured meshes.
+        self.visuals = None
 
     # ------------------------------------------------------------------
     # Derived quantities
@@ -468,7 +471,7 @@ def load_mesh(mesh_fpath: Union[str, Path]) -> TriMesh:
     if suffix in (".glb", ".gltf"):
         from audiblelight_tpu.io.gltf import load_gltf
 
-        vertices, faces = load_gltf(mesh_fpath)
+        vertices, faces, visuals = load_gltf(mesh_fpath, with_visuals=True)
     elif suffix == ".obj":
         vertices, faces = _load_obj(mesh_fpath)
     elif suffix == ".ply":
@@ -481,6 +484,8 @@ def load_mesh(mesh_fpath: Union[str, Path]) -> TriMesh:
         faces,
         metadata=dict(fname=mesh_fpath.stem, ftype=mesh_fpath.suffix, fpath=str(mesh_fpath)),
     )
+    if suffix in (".glb", ".gltf"):
+        mesh.visuals = visuals
 
     # Unit coercion heuristic (the reference guesses units from extents for
     # every format via trimesh convert_units(guess=True), worldstate.py:66-71):

@@ -150,6 +150,52 @@ def pad_plans(plans: Sequence[ScenePlan]) -> list[ScenePlan]:
     return out
 
 
+def bucket_plans(
+    plans: Sequence[ScenePlan], max_overhead: float = 0.3
+) -> list[list[int]]:
+    """Group ragged plans into few-compiled-program buckets with bounded padding.
+
+    Padding every plan to the GLOBAL maximum is wasteful when one 60 s scene
+    rides with a batch of 10 s scenes (6x padding on every short scene). This
+    groups plans so that, within each bucket, the padded compute volume exceeds
+    the true volume by at most `max_overhead` (cost proxy: scene samples +
+    event-slot samples, the two axes stems/mix scale with). Channel counts
+    partition buckets outright — different mic rigs never share a program.
+
+    Returns bucket membership as lists of indices into `plans` (callers keep
+    their own ordering/metadata). Feed each bucket through
+    stack_plans(pad=True) -> shard_render / render_batch.
+    """
+
+    def cost(p: ScenePlan) -> float:
+        s = max(p.static_audio.shape[1], p.moving_audio.shape[1])
+        slots = p.static_audio.shape[0] + p.moving_audio.shape[0]
+        return float(p.n_scene_samples + slots * s)
+
+    by_chan: dict[int, list[int]] = {}
+    for i, p in enumerate(plans):
+        by_chan.setdefault(int(p.static_irs.shape[1]), []).append(i)
+
+    buckets: list[list[int]] = []
+    for idxs in by_chan.values():
+        idxs = sorted(idxs, key=lambda i: cost(plans[i]))
+        cur: list[int] = []
+        cur_sum = 0.0
+        for i in idxs:
+            c = cost(plans[i])
+            if cur:
+                # every member pads to the bucket max = c (sorted ascending)
+                padded = c * (len(cur) + 1)
+                if padded > (1.0 + max_overhead) * (cur_sum + c):
+                    buckets.append(cur)
+                    cur, cur_sum = [], 0.0
+            cur.append(i)
+            cur_sum += c
+        if cur:
+            buckets.append(cur)
+    return buckets
+
+
 def stack_plans(plans: Sequence[ScenePlan], pad: bool = False) -> dict:
     """Stack ScenePlans into batched arrays (leading scene axis).
 
@@ -352,4 +398,4 @@ def shard_convolve_time(
     return jnp.concatenate([keep, tail], axis=-1)
 
 
-__all__ = ["init_distributed", "make_mesh", "pad_plans", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs", "shard_convolve_time"]
+__all__ = ["init_distributed", "make_mesh", "pad_plans", "bucket_plans", "stack_plans", "render_batch", "shard_render", "shard_trace_rirs", "shard_convolve_time"]

@@ -95,7 +95,7 @@ def mix_plan_host(plan: ScenePlan, q, scales) -> np.ndarray:
 
 
 def render_scene_audio_compiled(
-    scene, plan: Optional[ScenePlan] = None
+    scene, plan: Optional[ScenePlan] = None, plan_kwargs: Optional[dict] = None
 ) -> "OrderedDict[str, np.ndarray]":
     """Render a Scene's per-mic audio through the compiled stem pipeline.
 
@@ -105,7 +105,7 @@ def render_scene_audio_compiled(
     written at).
     """
     if plan is None:
-        plan = build_scene_plan(scene)
+        plan = build_scene_plan(scene, **(plan_kwargs or {}))
     q, scales = stems_from_plan(plan)
     mixed = mix_plan_host(plan, q, scales)
     return OrderedDict(
@@ -117,12 +117,15 @@ def render_scenes_pipelined(
     scene_factory: Iterable,
     complete: Callable,
     max_in_flight: int = 4,
+    plan_kwargs: Optional[dict] = None,
 ) -> int:
     """Dispatch-ahead dataset pipeline.
 
     `scene_factory` yields Scene objects (placement/audio loading happens in
-    the iterator, on the host). Each scene is compiled to a plan and its stem
-    program dispatched immediately (async); `complete(scene, audio_dict)` is
+    the iterator, on the host). Each scene is compiled to a plan (pass fixed
+    bucket sizes via `plan_kwargs` — max_static/max_moving/max_traj/
+    pad_audio_seconds — so every scene reuses ONE compiled stem program) and
+    its stem program dispatched immediately (async); `complete(scene, audio_dict)` is
     called in order with the mixed per-mic audio once results are pulled. Up to
     `max_in_flight` scenes' device programs are queued ahead of the host, so
     placement/mix/IO for scene i overlap tracing/rendering for scenes i+1..N.
@@ -147,7 +150,7 @@ def render_scenes_pipelined(
         scene = next(it, None)
         if scene is None:
             break
-        plan = build_scene_plan(scene)
+        plan = build_scene_plan(scene, **(plan_kwargs or {}))
         q, scales = stems_from_plan(plan)
         for arr in (q, scales):
             try:

@@ -56,7 +56,10 @@ class ScenePlan:
     moving_start: jnp.ndarray  # (Em,) int32
     moving_len: jnp.ndarray  # (Em,) int32
     moving_place_len: jnp.ndarray  # (Em,) int32
-    ambience: jnp.ndarray  # (C, T) pre-scaled ambient bed (zeros if none)
+    ambience: np.ndarray  # (C, T) pre-scaled ambient bed (zeros if none); kept
+    # HOST-side: only the final mix consumes it (device for render_scene_plan,
+    # host for mix_stems_host), and shipping a 60 s multichannel bed to device
+    # and back would dominate the per-scene host-link traffic
     ref_db: jnp.ndarray  # () float32
     n_scene_samples: int
 
@@ -447,7 +450,7 @@ def build_scene_plan(
         moving_start=jnp.asarray(moving_start),
         moving_len=jnp.asarray(moving_len),
         moving_place_len=jnp.asarray(moving_place_len),
-        ambience=jnp.asarray(ambience),
+        ambience=ambience,
         ref_db=jnp.asarray(float(scene.ref_db), dtype=jnp.float32),
         n_scene_samples=t,
     )

@@ -358,9 +358,29 @@ def trace_energy_histogram(
 
         return (new_origins, new_dirs, new_energy, new_dist, new_alive, hist), None
 
-    (_, _, _, _, _, hist), _ = jax.lax.scan(
-        bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys
-    )
+    hist = _bounce_until_dead(bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys, max_depth)
+    return hist
+
+
+def _bounce_until_dead(bounce, init, keys, max_depth):
+    """Run the bounce loop with an exact early exit.
+
+    Rays die by energy (absorption compounds to the kill threshold in ~35-40
+    bounces at typical alpha) or by the IR distance window; once EVERY ray is
+    dead, remaining bounces deposit exactly zero, so exiting early is bitwise
+    identical to running the full scan — it just stops paying for dead
+    wavefronts (rlr's default depth is 200; most of those never fire).
+    """
+    def cond(state):
+        i, carry = state
+        return (i < max_depth) & jnp.any(carry[4])
+
+    def body(state):
+        i, carry = state
+        new_carry, _ = bounce(carry, keys[i])
+        return (i + 1, new_carry)
+
+    _, (_, _, _, _, _, hist) = jax.lax.while_loop(cond, body, (jnp.asarray(0), init))
     return hist
 
 
@@ -841,8 +861,8 @@ def trace_energy_histogram_multi(
         )
         return (new_origins, new_dirs, new_energy, new_dist, new_alive, hist), None
 
-    (_, _, _, _, _, hist), _ = jax.lax.scan(
-        bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys
+    hist = _bounce_until_dead(
+        bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys, max_depth
     )
     return hist
 

@@ -575,6 +575,9 @@ def generate_scene_video_from_events(
             render_equirect_panorama(
                 scene.state.mesh.triangles, cam, width, height,
                 accel=getattr(scene.state, "grid_accel", None),
+                # Real mesh textures when the GLB carries them (reference
+                # synthesize.py:922-953); hashed-albedo shading otherwise.
+                visuals=getattr(scene.state.mesh, "visuals", None),
             )
         )
     except Exception as exc:  # never let the overlay die on a render failure

@@ -1,397 +1,238 @@
-"""Benchmark: DCASE2023-style 60 s SELD scene rendering throughput on one chip.
+"""Benchmark: DCASE2023-style 60 s SELD scene throughput on one chip.
 
-Measures the full production pipeline in steady state (after compile), generating
-scenes in device batches — the shape a real dataset run uses:
-  1. host: sample mic + event layouts (4 static + 1 moving event with a 9-point
-     trajectory per scene — the DCASE2023 SELD generator's scene shape)
-  2. device (ONE fused program per batch): ray-trace RIRs for every source of
-     every scene (B x 13 sources, AmbeoVR 4-capsule receiver, 4 frequency
-     bands), gather dry audio from the device-resident pool, render per-event
-     wet spatial stems (TI + TV convolution, level chain), quantise stems to
-     int16 with per-stem scales
-  3. host (overlapped: every batch's device program is dispatched ahead,
-     async): drain stems, additively place them into the 60 s timeline
-     (render.mix_stems_host), peak-normalise, write 16-bit PCM + DCASE CSVs
+HEADLINE metric (the reference's flagship regime): full production rendering of
+60 s SELD scenes inside a **110k-face nonconvex scanned room with occlusion
+ON** — placement through the Scene API, 13-source RIR ray tracing (5000
+indirect rays, AmbeoVR 4-capsule rig, 4 frequency bands, 1.0 s IRs), compiled
+device stem programs, host mix, real WAV + DCASE CSV + JSON outputs. The code
+path is `audiblelight_tpu.pipeline` — the SAME code `scripts/seld/
+generate_dataset.py --pipeline compiled` runs, not a bench-private pipeline.
+The tracer runs the production configuration for scanned rooms:
+`mesh_simplification=True` (energy tail on a vertex-clustered ~4k-face
+acoustic LOD with a Sabine area correction; exact direct path on the full
+mesh) and per-face rain-visibility tables — see config.py
+MESH_SIMPLIFICATION_TARGET_FACES for the acoustics rationale.
 
-The stem factorisation keeps every FLOP on device while shipping ~2x fewer
-bytes than the mixed timeline (events cover only part of a scene); the final
-additive mix runs on the host, which must touch the samples anyway to write
-them — the same split as the reference (per-event render at synthesize.py:507
-feeding a numpy additive mix at synthesize.py:314-401). Dry audio lives in a
-device-resident pool indexed per scene, so steady-state host->device traffic
-is a few KB per batch.
+Reference comparison: the reference pushes this workload through the rlr C++
+BVH on CPU (reference worldstate.py:2148-2181); its serial generator measures
+seconds per scene (reference scripts/generate/benchmark.py:80-82).
 
-Audio format follows the reference's DCASE2023 SELD dataset: 60 s scenes at
-24 kHz (reference scripts/seld/generate_dataset.py:7-13).
-
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}: value is
-scene-seconds rendered per wall-clock second per chip; baseline target is 100x
-real time (BASELINE.json north star). "chip_render_value" is the same device
-pipeline with pre-staged inputs and a scalar digest sync — the stable
-device-throughput number when the host link (a ~1-40 MB/s development tunnel
-here; PCIe in production) is the bottleneck.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}: value is
+scene-seconds rendered per wall-clock second per chip, the MEDIAN over
+measurement runs (the host link here is a development tunnel whose bulk
+transfer rate swings; production is PCIe). "peak_value" is the best run,
+"easy_box_value" is the same pipeline on a 12-face convex box (occlusion
+skipped — round 1/2's headline regime, kept for continuity), and
+"chip_render_value" is device-side throughput (trace + stems, scalar-digest
+sync) with the host link out of the loop.
 """
 
 import json
+import statistics
 import tempfile
 import time
 from pathlib import Path
 
 import numpy as np
 
-BATCH = 8
-N_WARMUP_BATCHES = 1
-N_MEASURE_BATCHES = 6
 SCENE_SECONDS = 60.0
 SR = 24000  # DCASE2023 SELD dataset sample rate
 N_STATIC = 4
-N_TRAJ = 9
+N_MOVING = 1
 EVENT_SECONDS = 5.0
-IR_SECONDS = 0.5
+IR_SECONDS = 1.0  # repo default MAX_IR_SECONDS (rlr ships 4.0; see README)
 N_RAYS = 5000
 MAX_DEPTH = 60
 ROOM = np.array([7.0, 5.0, 3.0])
-N_EVENTS = N_STATIC + 1
+N_WARMUP = 2
+N_MEASURE = 8
+N_RUNS = 3
+
+# Fixed plan buckets: every scene compiles to the same stem program
+PLAN_KWARGS = dict(max_static=4, max_moving=1, max_traj=16, pad_audio_seconds=EVENT_SECONDS)
 
 
-def make_audio_pool(pool_dir: Path, n_files: int = 8):
-    """Synthesised dry event WAVs (tones + noise bursts), EVENT_SECONDS each."""
+def make_fg_pool(root: Path, n_files: int = 8):
+    """Synthesised dry event WAVs (tones + noise bursts) in a class directory."""
     from audiblelight_tpu.io.audio import wav_write
 
     rng = np.random.default_rng(0)
-    paths = []
+    d = root / "maleSpeech"
+    d.mkdir(parents=True)
+    t = np.arange(int(EVENT_SECONDS * SR)) / SR
     for i in range(n_files):
-        t = np.arange(int(EVENT_SECONDS * SR)) / SR
         freq = 200.0 * (i + 1)
         sig = 0.5 * np.sin(2 * np.pi * freq * t) * np.exp(-t * 0.4)
         sig += 0.05 * rng.standard_normal(len(t))
-        p = pool_dir / f"event_{i}.wav"
-        wav_write(p, sig.astype(np.float32), SR)
-        paths.append(p)
-    return paths
+        wav_write(d / f"event_{i}.wav", sig.astype(np.float32), SR)
+    return root
 
 
-def sample_layout(rng):
-    """Static positions + moving trajectory inside the room (mic at centre)."""
-    margin = 0.5
-    statics = np.stack([rng.uniform(margin, ROOM - margin) for _ in range(N_STATIC)])
-    start, end = rng.uniform(margin, ROOM - margin), rng.uniform(margin, ROOM - margin)
-    traj = np.linspace(start, end, N_TRAJ)
-    return statics, traj
+def scene_factory(mesh, fg_root, n_scenes, seed0, simplify):
+    """Yield DCASE2023-shaped scenes: 4 static + 1 moving event, AmbeoVR rig.
 
+    Event/trajectory parameters are pinned so the traced source count lands in
+    one power-of-two bucket (4 + 11 = 15 -> 16) and the stem program shape is
+    constant — production dataset runs rely on the same bucketing.
+    """
+    from audiblelight_tpu.core import Scene
 
-def main_scanned():
-    """Secondary config (`bench.py --scanned`): RIR tracing on a 110k-face
-    nonconvex scanned-style room with occlusion ON — the regime the reference
-    pushes through rlr's C++ BVH — against the same trace on the 12-face convex
-    box the flagship bench uses (occlusion skipped exactly). Prints one JSON
-    line; `vs_box` is the scanned/box wall-time ratio (the "within ~10x of the
-    box-mesh rate" criterion)."""
-    import os
-    import jax
-    import jax.numpy as jnp
-
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from audiblelight_tpu.geometry.mesh import box_mesh, scanned_like_room
-    from audiblelight_tpu.ops.star_occlusion import build_star_accel
-    from audiblelight_tpu.rir.raytracer import trace_rirs_multi
-
-    rng = np.random.default_rng(0)
-    n_sources = N_EVENTS + N_TRAJ - 1  # the SELD scene's source count (13)
-    margin = 0.6
-    sources = jnp.asarray(
-        rng.uniform(margin, ROOM - margin, size=(n_sources, 3)), jnp.float32
-    )
-    center = ROOM / 2
-    offs = np.array([[0.01, 0.01, 0.01], [-0.01, 0.01, -0.01],
-                     [0.01, -0.01, -0.01], [-0.01, -0.01, 0.01]])
-    listeners = jnp.asarray(center[None] + offs, jnp.float32)  # AmbeoVR-like
-    n_samples = int(IR_SECONDS * SR)
-
-    def run(tris, occlusion, star, key):
-        f = tris.shape[0]
-        absor = jnp.full((f, 4), 0.3, jnp.float32)
-        scat = jnp.full((f,), 0.4, jnp.float32)
-        irs = trace_rirs_multi(
-            key, tris, absor, scat, sources, listeners,
-            n_samples=n_samples, sr=SR, n_rays=N_RAYS, max_depth=MAX_DEPTH,
-            occlusion=occlusion, star=star,
+    for i in range(n_scenes):
+        scene = Scene(
+            duration=SCENE_SECONDS,
+            sample_rate=SR,
+            backend="rlr",
+            backend_kwargs=dict(
+                mesh=mesh,
+                seed=seed0 + i,
+                rlr_kwargs=dict(
+                    indirect_ray_count=N_RAYS,
+                    indirect_ray_depth=MAX_DEPTH,
+                    max_ir_length=IR_SECONDS,
+                    mesh_simplification=simplify,
+                ),
+            ),
+            fg_path=fg_root,
+            max_overlap=2,
+            class_mapping="DCASE2023Task3",
         )
-        return np.asarray(irs)  # D2H sync
-
-    scan = scanned_like_room(extents=tuple(ROOM), seed=0)
-    tris_scan = jnp.asarray(scan.triangles)
-    star = build_star_accel(np.asarray(scan.triangles), center, r_pad=0.02)
-    box = box_mesh(extents=ROOM.tolist(), center=(ROOM / 2).tolist())
-    tris_box = jnp.asarray(np.asarray(box.triangles, dtype=np.float32))
-
-    times = {}
-    for name, tris, occl, st in (
-        ("box", tris_box, False, None),
-        ("scanned", tris_scan, True, star),
-    ):
-        run(tris, occl, st, jax.random.PRNGKey(0))  # compile + warm
-        t0 = time.time()
-        for i in range(2):
-            out = run(tris, occl, st, jax.random.PRNGKey(i + 1))
-        times[name] = (time.time() - t0) / 2
-        assert np.isfinite(out).all()
-
-    print(
-        json.dumps(
-            {
-                "metric": "scanned-room RIR set (13 sources x 4 capsules, 110k faces, occlusion on)",
-                "value": round(times["scanned"], 3),
-                "unit": "sec/RIR-set",
-                "vs_baseline": round(times["scanned"] / max(times["box"], 1e-9), 2),
-                "box_value": round(times["box"], 3),
-                "note": "vs_baseline here = scanned/box wall ratio (target <= ~10)",
-            }
+        scene.add_microphone(microphone_type="ambeovr", alias="mic000")
+        for _ in range(N_STATIC):
+            scene.add_event(
+                event_type="static", duration=EVENT_SECONDS, event_start=0.0,
+                max_place_attempts=200,
+            )
+        scene.add_event(
+            event_type="moving", duration=EVENT_SECONDS, event_start=0.0,
+            spatial_resolution=2.0, max_place_attempts=200,
         )
+        scene.add_ambience(noise="gaussian")
+        yield scene
+
+
+def run_production(mesh, fg_root, out_dir: Path, n_scenes, seed0, simplify=True):
+    """Render n_scenes through the production pipeline; returns elapsed secs.
+
+    Outputs per scene: one multichannel WAV per mic, the DCASE2024 metadata
+    CSV (synthesize.generate_dcase2024_metadata — the real generator) and the
+    scene JSON, matching scripts/seld/generate_dataset.py.
+    """
+    from audiblelight_tpu.io.audio import wav_write
+    from audiblelight_tpu.pipeline import render_scenes_pipelined
+    from audiblelight_tpu.synthesize import generate_dcase2024_metadata
+
+    counter = {"i": 0}
+
+    def complete(scene, audio):
+        i = counter["i"]
+        counter["i"] += 1
+        scene.audio = audio
+        for alias, mix in audio.items():
+            wav_write(out_dir / f"scene{seed0}_{i}_{alias}.wav", mix, SR)
+        for alias, df in generate_dcase2024_metadata(scene).items():
+            df.to_csv(out_dir / f"scene{seed0}_{i}_{alias}.csv", header=None)
+        with open(out_dir / f"scene{seed0}_{i}.json", "w") as f:
+            json.dump(scene.to_dict(), f)
+
+    t0 = time.time()
+    n = render_scenes_pipelined(
+        scene_factory(mesh, fg_root, n_scenes, seed0, simplify),
+        complete,
+        max_in_flight=4,
+        plan_kwargs=PLAN_KWARGS,
     )
+    elapsed = time.time() - t0
+    assert n == n_scenes
+    return elapsed
+
+
+def run_chip_only(mesh, fg_root, n_scenes, seed0, simplify=True):
+    """Device throughput: trace + stem programs through the same pipeline code,
+    synced with a scalar digest per scene (no bulk host transfers)."""
+    from audiblelight_tpu.pipeline import stems_from_plan
+    from audiblelight_tpu.render import build_scene_plan
+
+    digests = []
+    t0 = time.time()
+    for scene in scene_factory(mesh, fg_root, n_scenes, seed0, simplify):
+        plan = build_scene_plan(scene, **PLAN_KWARGS)
+        q, scales = stems_from_plan(plan)
+        digests.append((q, scales))
+        while len(digests) > 2:
+            qq, ss = digests.pop(0)
+            float(np.asarray(ss[0]))  # scalar sync: device done, no bulk pull
+    for qq, ss in digests:
+        float(np.asarray(ss[0]))
+    return time.time() - t0
 
 
 def main():
     import os
 
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
 
-    # Persistent compilation cache: keeps driver/bench warmup to seconds when
-    # the programs were already compiled in any earlier process.
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    import jax.numpy as jnp
 
-    from audiblelight_tpu import config
-    from audiblelight_tpu.geometry import box_mesh
-    from audiblelight_tpu.io.audio import load_audio
-    from audiblelight_tpu.micarrays import AmbeoVR
-    from audiblelight_tpu.ops.convolve import interpolation_matrix
-    from audiblelight_tpu.ops.stft import n_stft_frames
-    from audiblelight_tpu.render import mix_stems_host, quantize_stems, render_event_stems_arrays
-    from audiblelight_tpu.rir.materials import get_material_absorption, octave_band_centers
-    from audiblelight_tpu.rir.raytracer import trace_rirs_multi
+    from audiblelight_tpu.geometry.mesh import box_mesh, scanned_like_room
 
     tmp = Path(tempfile.mkdtemp(prefix="al_bench_"))
-    pool = make_audio_pool(tmp)
-    pool_np = np.stack([load_audio(p, sr=SR, mono=True)[0] for p in pool])
-    pool_np /= np.abs(pool_np).max(axis=1, keepdims=True) + 1e-15
+    fg_root = make_fg_pool(tmp / "fg")
+    out_dir = tmp / "out"
+    out_dir.mkdir()
 
-    mesh = box_mesh(extents=ROOM, center=ROOM / 2)
-    tris = jnp.asarray(mesh.triangles.astype(np.float32))
-    # Precompute normals OUTSIDE the fused program (axon miscompile guard, see
-    # rir.raytracer) — they are geometry constants anyway.
-    tn = np.cross(
-        mesh.triangles[:, 1] - mesh.triangles[:, 0],
-        mesh.triangles[:, 2] - mesh.triangles[:, 0],
-    )
-    tri_normals = jnp.asarray(
-        (tn / np.maximum(np.linalg.norm(tn, axis=-1, keepdims=True), 1e-12)).astype(np.float32)
-    )
-    bands = octave_band_centers(config.RAY_TRACER_FREQUENCY_BANDS)
-    alpha = get_material_absorption("Default", bands)
-    absorption = jnp.broadcast_to(
-        jnp.asarray(alpha, dtype=jnp.float32), (len(mesh.faces), len(bands))
-    )
-    scattering = jnp.full(len(mesh.faces), 0.5, dtype=jnp.float32)
+    scan = scanned_like_room(extents=tuple(ROOM), seed=0)
+    box = box_mesh(extents=ROOM.tolist(), center=(ROOM / 2).tolist())
 
-    ir_len = int(IR_SECONDS * SR)
-    s_pad = int(EVENT_SECONDS * SR)
-    t_total = int(SCENE_SECONDS * SR)
-    fr = n_stft_frames(s_pad)
-    n_src = N_STATIC + N_TRAJ
+    # ---- warmup: compile every program (trace bucket, stems, occlusion table)
+    run_production(scan, fg_root, out_dir, N_WARMUP, seed0=9000)
 
-    mic_center = np.array([ROOM[0] / 2, ROOM[1] / 2, 1.5])
-    caps = jnp.asarray(AmbeoVR().set_absolute_coordinates(mic_center), dtype=jnp.float32)
-    w_interp = jnp.asarray(
-        interpolation_matrix(
-            np.linspace(0, EVENT_SECONDS, N_TRAJ), SR, config.HOP_SIZE, fr
-        ).astype(np.float32)
-    )
-    pool_dev = jnp.asarray(pool_np)  # device-resident dry-audio pool
+    # ---- headline: scanned room, occlusion on, production outputs ----------
+    rates = []
+    for r in range(N_RUNS):
+        elapsed = run_production(scan, fg_root, out_dir, N_MEASURE, seed0=1000 + 100 * r)
+        rates.append(N_MEASURE * SCENE_SECONDS / elapsed)
+    value = statistics.median(rates)
+    peak = max(rates)
 
-    ones_s = jnp.ones(N_STATIC, dtype=jnp.float32)
-    lens_s = jnp.full(N_STATIC, s_pad, dtype=jnp.int32)
-    ones_m = jnp.ones(1, dtype=jnp.float32)
-    lens_m = jnp.full(1, s_pad, dtype=jnp.int32)
-    ref_db = jnp.asarray(-65.0, dtype=jnp.float32)
+    # ---- device-only throughput (host link out of the loop) ----------------
+    chip_elapsed = run_chip_only(scan, fg_root, N_MEASURE, seed0=5000)
+    chip_value = N_MEASURE * SCENE_SECONDS / chip_elapsed
 
-    @jax.jit
-    def stem_batch(key, sources, idx, snr):
-        """ONE dispatch per batch: trace + gather + stems + int16 quantise.
-
-        sources: (B*13, 3); idx: (B, 5) pool rows; snr: (B, 5).
-        Returns int16 stems (B, 5, 4, S) and float32 scales (B, 5).
-        """
-        irs = trace_rirs_multi(
-            key, tris, absorption, scattering, sources, caps,
-            n_samples=ir_len, sr=SR, n_rays=N_RAYS, max_depth=MAX_DEPTH,
-            occlusion=not mesh.is_convex,  # convex room: no interior occlusion
-            tri_normals=tri_normals,
-        )  # (4, B*13, ir_len)
-        irs_b = jnp.moveaxis(irs.reshape(4, BATCH, n_src, ir_len), 1, 0)  # (B,4,13,L)
-        audio = pool_dev[idx]  # (B, 5, S)
-
-        def one_scene(irs_s, audio_s, snr_s):
-            return render_event_stems_arrays(
-                audio_s[:N_STATIC],
-                jnp.moveaxis(irs_s[:, :N_STATIC], 0, 1),  # (4ev, 4ch, L)
-                ones_s,
-                snr_s[:N_STATIC],
-                lens_s,
-                lens_s,
-                audio_s[N_STATIC:],
-                irs_s[:, N_STATIC:][None],  # (1, 4ch, 9, L)
-                w_interp[None],
-                ones_m,
-                snr_s[N_STATIC:],
-                lens_m,
-                lens_m,
-                ref_db,
-            )
-
-        stems = jax.vmap(one_scene)(irs_b, audio, snr)  # (B, 5, 4, S)
-        return quantize_stems(stems)
-
-    def drain(item):
-        """Host-side completion: transfer stems, additive mix, CSV + PCM writes."""
-        import pandas as pd
-
-        q_dev, scales_dev, metas = item
-        q_np = np.asarray(q_dev)  # blocks until the async D2H completes
-        scales_np = np.asarray(scales_dev)
-        for b, meta in enumerate(metas):
-            mixed = mix_stems_host(q_np[b], scales_np[b], meta["starts"], t_total)
-            peak = max(np.abs(mixed).max(), 1e-9)
-            pcm = (mixed / peak * 32000.0).astype(np.int16)
-            frames = []
-            for i, pos in enumerate(meta["statics"]):
-                rel = pos - mic_center
-                az = np.degrees(np.arctan2(rel[1], rel[0]))
-                el = np.degrees(np.arcsin(rel[2] / np.linalg.norm(rel)))
-                start_f = int(meta["starts"][i] / SR * 10)
-                for fidx in range(start_f, start_f + int(EVENT_SECONDS * 10)):
-                    frames.append(
-                        [fidx, i % 13, i, round(az), round(el), round(np.linalg.norm(rel) * 100)]
-                    )
-            pd.DataFrame(frames).to_csv(
-                tmp / f"meta_{meta['seed']}.csv", header=None, index=False
-            )
-            with open(tmp / f"scene_{meta['seed']}.pcm", "wb") as f:
-                f.write(pcm.T.tobytes())
-
-    def dispatch_batch(seed, key):
-        """Host prep (layout sampling, pool indices) + ONE device dispatch."""
-        srng = np.random.default_rng(seed)
-        all_sources, metas = [], []
-        snr = srng.uniform(5, 30, (BATCH, N_EVENTS)).astype(np.float32)
-        idx = srng.integers(0, len(pool), (BATCH, N_EVENTS)).astype(np.int32)
-        max_start = int((SCENE_SECONDS - EVENT_SECONDS) * SR)
-        starts = srng.integers(0, max_start, (BATCH, N_EVENTS)).astype(np.int64)
-        for b in range(BATCH):
-            statics, traj = sample_layout(srng)
-            all_sources.append(np.concatenate([statics, traj]))
-            metas.append(dict(seed=f"{seed}_{b}", statics=statics, starts=starts[b]))
-        sources = np.concatenate(all_sources).astype(np.float32)  # (B*13, 3)
-        q_dev, scales_dev = stem_batch(key, jnp.asarray(sources), idx, snr)
-        for arr in (q_dev, scales_dev):
-            try:
-                arr.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
-        return q_dev, scales_dev, metas
-
-    import jax.random as jrandom
-
-    key = jrandom.PRNGKey(0)
-
-    def run_pipeline(seed0, n_batches):
-        """Dispatch-ahead pipeline: enqueue every batch's device program first
-        (dispatch is async — the device churns through them back-to-back), then
-        pull + mix + write each batch's results in order on this thread.
-
-        Thread-free on purpose: the host link here is an RPC tunnel whose bulk
-        transfers degrade ~2x when other RPCs run concurrently, so sequential
-        pulls with all compute pre-queued beat a producer/consumer thread pair.
-        Device memory bounds the look-ahead (each in-flight batch holds ~38 MB
-        of stems), so in-flight batches are capped.
-        """
-        nonlocal key
-        max_in_flight = 6
-        pending = []
-        idx = 0
-        while idx < n_batches or pending:
-            while idx < n_batches and len(pending) < max_in_flight:
-                key, sub = jrandom.split(key)
-                pending.append(dispatch_batch(seed0 + idx, sub))
-                idx += 1
-            drain(pending.pop(0))
-
-    run_pipeline(1000, N_WARMUP_BATCHES)  # compile + warm everything
-
-    # Chip-side render throughput: inputs pre-staged on device, synced with a
-    # scalar digest per batch — measures trace + stem render + quantise with no
-    # host link in the loop. On production hardware the host link is PCIe
-    # (GB/s) and the full pipeline tracks this number; through the development
-    # tunnel (~1-10 MB/s each way) the transfer-bound pipeline number below can
-    # sit far under it.
-    srng = np.random.default_rng(3000)
-    staged_sources = jnp.asarray(
-        np.concatenate([np.concatenate(sample_layout(srng)) for _ in range(BATCH)]),
-        dtype=jnp.float32,
-    )
-    staged_idx = jnp.asarray(srng.integers(0, len(pool), (BATCH, N_EVENTS)), dtype=jnp.int32)
-    staged_snr = jnp.asarray(srng.uniform(5, 30, (BATCH, N_EVENTS)).astype(np.float32))
-
-    @jax.jit
-    def chip_batch(k):
-        q_dev, scales_dev = stem_batch(k, staged_sources, staged_idx, staged_snr)
-        return jnp.sum(q_dev[..., ::SR].astype(jnp.int32)) + jnp.sum(scales_dev)
-
-    _ = float(chip_batch(jrandom.PRNGKey(42)))  # warm (programs already cached)
-    t0 = time.time()
-    for i in range(N_MEASURE_BATCHES):
-        _ = float(chip_batch(jrandom.PRNGKey(100 + i)))
-    chip_elapsed = time.time() - t0
-    chip_value = N_MEASURE_BATCHES * BATCH * SCENE_SECONDS / chip_elapsed
-
-    # Full-pipeline measurement: host prep, device batches, stem transfers and
-    # host mixing/IO all overlapped by the producer/consumer pipeline. The host
-    # link here is a development tunnel whose bulk-transfer health swings
-    # minute to minute (production is PCIe); measure two steady-state runs and
-    # report the better one as the machine's capability.
-    elapsed = float("inf")
-    for rep in range(2):
-        t0 = time.time()
-        run_pipeline(2000 + rep, N_MEASURE_BATCHES)
-        elapsed = min(elapsed, time.time() - t0)
-
-    n_scenes = N_MEASURE_BATCHES * BATCH
-    scene_seconds_per_sec = n_scenes * SCENE_SECONDS / elapsed
+    # ---- continuity metric: 12-face convex box (occlusion skipped) ---------
+    run_production(box, fg_root, out_dir, 1, seed0=7000, simplify=False)  # warm
+    box_elapsed = run_production(box, fg_root, out_dir, N_MEASURE, seed0=7100, simplify=False)
+    box_value = N_MEASURE * SCENE_SECONDS / box_elapsed
 
     print(
         json.dumps(
             {
-                "metric": "60s SELD scenes rendered (scene-seconds/sec/chip, DCASE2023 format)",
-                "value": round(scene_seconds_per_sec, 2),
+                "metric": (
+                    "60s SELD scenes rendered, 110k-face scanned room, occlusion on "
+                    "(production pipeline: Scene API -> device stems -> WAV/CSV/JSON)"
+                ),
+                "value": round(value, 2),
                 "unit": "scene-seconds/sec/chip",
-                "vs_baseline": round(scene_seconds_per_sec / 100.0, 3),
+                "vs_baseline": round(value / 100.0, 3),
+                "peak_value": round(peak, 2),
+                "run_values": [round(v, 2) for v in rates],
                 "chip_render_value": round(chip_value, 2),
+                "easy_box_value": round(box_value, 2),
+                "config": {
+                    "ir_seconds": IR_SECONDS,
+                    "n_rays": N_RAYS,
+                    "max_depth": MAX_DEPTH,
+                    "events": f"{N_STATIC} static + {N_MOVING} moving",
+                    "mesh_simplification": True,
+                },
             }
         )
     )
 
 
 if __name__ == "__main__":
-    import sys
-
-    if "--scanned" in sys.argv:
-        main_scanned()
-    else:
-        main()
+    main()

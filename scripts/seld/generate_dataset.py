@@ -60,6 +60,22 @@ def get_augmentations(names):
     return out
 
 
+_MESH_CACHE = {}
+
+
+def _load_mesh_cached(mesh):
+    """Load a mesh once per path: consecutive scapes in the same room share the
+    TriMesh object (and with it the cached acoustic LOD / accel structures)."""
+    from audiblelight_tpu.geometry.mesh import TriMesh, load_mesh
+
+    if isinstance(mesh, TriMesh):
+        return mesh
+    key = str(mesh)
+    if key not in _MESH_CACHE:
+        _MESH_CACHE[key] = load_mesh(mesh)
+    return _MESH_CACHE[key]
+
+
 def build_backend_kwargs(args, rng, room=None):
     """Backend-specific constructor kwargs for this scene.
 
@@ -84,13 +100,19 @@ def build_backend_kwargs(args, rng, room=None):
             mesh = args.mesh
         else:
             raise ValueError("--mesh or --assets is required for the rlr backend")
-        rlr_kwargs = dict(max_ir_length=args.ir_seconds)
+        rlr_kwargs = dict(
+            max_ir_length=args.ir_seconds,
+            # Acoustic LOD: the energy tail traces a decimated mesh (exact
+            # direct path keeps full resolution) — the production default for
+            # scanned rooms; disable with --no-mesh-simplification.
+            mesh_simplification=args.mesh_simplification,
+        )
         if args.rays is not None:
             rlr_kwargs["indirect_ray_count"] = args.rays
         if args.ray_depth is not None:
             rlr_kwargs["indirect_ray_depth"] = args.ray_depth
         return dict(
-            mesh=mesh,
+            mesh=_load_mesh_cached(mesh),
             material=args.material if args.materials else None,
             add_to_context=False,
             rlr_kwargs=rlr_kwargs,
@@ -192,6 +214,9 @@ def generate(
         metadata_dcase=True,
         audio_fname=audio_path.name,
         metadata_fname=audio_path.name,
+        # The production path: whole-scene device stems + host mix — the same
+        # code bench.py measures (audiblelight_tpu.pipeline).
+        compiled=(args.pipeline == "compiled"),
     )
     # Move metadata files into metadata_dev (generate writes next to audio)
     for produced in audio_path.parent.glob(f"{audio_path.name}*.csv"):
@@ -250,6 +275,16 @@ def main():
     parser.add_argument("--ir-seconds", type=float, default=config.MAX_IR_SECONDS)
     parser.add_argument("--duration", type=float, default=DURATION)
     parser.add_argument("--seed", type=int, default=utils.SEED)
+    parser.add_argument(
+        "--pipeline", choices=["compiled", "classic"], default="compiled",
+        help="compiled = whole-scene device stem programs + host mix (the "
+        "benchmarked production path); classic = reference-style per-event loop",
+    )
+    parser.add_argument(
+        "--mesh-simplification", action=argparse.BooleanOptionalAction, default=True,
+        help="trace the energy tail against a decimated acoustic LOD of the "
+        "room (exact direct path keeps the full mesh); rlr backend only",
+    )
     args = parser.parse_args()
 
     rng = np.random.default_rng(args.seed)

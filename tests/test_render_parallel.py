@@ -27,9 +27,9 @@ def fg_dir(tmp_path_factory):
     return root
 
 
-def make_scene(fg_dir, seed=0):
+def make_scene(fg_dir, seed=0, duration=8.0):
     scene = Scene(
-        duration=8.0,
+        duration=duration,
         backend="shoebox",
         fg_path=fg_dir,
         backend_kwargs=dict(
@@ -287,3 +287,48 @@ def test_shard_convolve_time_validates_halo():
     irs = jnp.zeros((2, 256))
     with _pytest.raises(ValueError):
         shard_convolve_time(audio, irs, mesh, axis="scene")
+
+
+def test_bucket_plans_bounds_padding_overhead(fg_dir):
+    """Dataset-scale ragged batching: mixed 5/15/30 s scenes bucket by size
+    (NOT padded to the global max), with padded compute volume within 30% of
+    the true volume per bucket, and each bucket renders correctly through
+    shard_render on the virtual device mesh."""
+    from audiblelight_tpu.parallel import bucket_plans
+
+    durations = [8.0, 8.0, 16.0, 16.0, 48.0, 48.0]
+    scenes = [make_scene(fg_dir, seed=i, duration=d) for i, d in enumerate(durations)]
+    plans = [
+        build_scene_plan(s, max_static=2, max_moving=2, max_traj=8, pad_audio_seconds=3.0)
+        for s in scenes
+    ]
+    buckets = bucket_plans(plans, max_overhead=0.3)
+
+    # 6x ragged durations must NOT share one bucket
+    assert len(buckets) >= 2
+    covered = sorted(i for b in buckets for i in b)
+    assert covered == list(range(len(plans)))
+
+    def cost(p):
+        s = max(p.static_audio.shape[1], p.moving_audio.shape[1])
+        slots = p.static_audio.shape[0] + p.moving_audio.shape[0]
+        return float(p.n_scene_samples + slots * s)
+
+    for b in buckets:
+        true_vol = sum(cost(plans[i]) for i in b)
+        padded_vol = max(cost(plans[i]) for i in b) * len(b)
+        assert padded_vol <= 1.3 * true_vol + 1e-6
+
+    # Render each bucket through the sharded path; every scene must match its
+    # individual render over its true duration
+    for b in buckets:
+        batch_idx = list(b)
+        while len(batch_idx) % 2:
+            batch_idx.append(b[-1])  # repeat-pad to the mesh size
+        batched = stack_plans([plans[i] for i in batch_idx], pad=True)
+        mesh = make_mesh(n_scene=2, n_chan=1, devices=jax.devices()[:2])
+        out = np.asarray(shard_render(batched, mesh))
+        for row, i in enumerate(b):
+            t = plans[i].n_scene_samples
+            single = np.asarray(render_scene_plan(plans[i]))
+            np.testing.assert_allclose(out[row, :, :t], single, atol=1e-5)
