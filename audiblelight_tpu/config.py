@@ -109,10 +109,6 @@ RAY_TRACER_INDIRECT_SH_ORDER = 1
 RAY_TRACER_FREQUENCY_BANDS = 4
 RAY_TRACER_MAX_IR_LENGTH = 4.0
 SPEED_OF_SOUND = 343.0
-# With the engine config's `diffraction` flag on, surface scattering is floored
-# at this value: diffuse reflections spread energy into geometric shadow zones,
-# the first-order surrogate for edge diffraction (see docs/backends.md).
-DIFFRACTION_SCATTERING_FLOOR = 0.35
 # Use the Pallas raycast kernels on TPU backends at any face count (VMEM-sized
 # face tiles stream for large meshes); the chunked XLA path is the exact-match
 # fallback on other backends

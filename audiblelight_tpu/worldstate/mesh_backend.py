@@ -442,15 +442,9 @@ class WorldStateRLR(PlacementMixin, WorldState):
                     0.0,
                     1.0,
                 )
-            # Diffraction story: the stochastic tracer has no explicit edge
-            # diffraction (the reference's rlr engine models it via its beam
-            # tracer). With cfg.diffraction on, the established first-order
-            # surrogate is raising the diffuse-scattering floor so reflected
-            # energy spreads into geometric shadow zones — the same late-field
-            # effect edge diffraction produces; the exact direct path still
-            # uses binary occlusion. See docs/backends.md.
-            if bool(self.cfg.diffraction):
-                scat = max(scat, config.DIFFRACTION_SCATTERING_FLOOR)
+            # Diffraction is a real first-order knife-edge term on occluded
+            # direct paths (rir.raytracer.diffracted_path_ir, wired in
+            # get_irs); the earlier scattering-floor surrogate is gone.
             self._face_props_device = (
                 jnp.broadcast_to(
                     jnp.asarray(alpha, dtype=jnp.float32), (n_faces, len(bands))
@@ -693,6 +687,19 @@ class WorldStateRLR(PlacementMixin, WorldState):
             out[alias] = arr
         return out
 
+    @property
+    def irs(self) -> OrderedDict[str, np.ndarray]:
+        """Simulated IRs; lazily materialised from the device-resident trace
+        when only the compiled pipeline has run (it never pulls IR banks to the
+        host on its own — see trace_irs_device)."""
+        if self._irs is None and getattr(self, "_irs_device_cache", None) is not None:
+            self._irs = OrderedDict(
+                (a, np.asarray(v)) for a, v in self._irs_device_cache[1].items()
+            )
+            for a, arr in self._irs.items():
+                self.microphones[a].irs = arr
+        return super().irs
+
     def trace_irs_device(self) -> OrderedDict[str, jnp.ndarray]:
         """Trace RIRs, returning DEVICE arrays {mic_alias: (C, E, S)}.
 
@@ -803,6 +810,9 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 # to the listener layout's order inside the tracer.
                 sh_order_direct=int(self.cfg.direct_sh_order),
                 sh_order_indirect=int(self.cfg.indirect_sh_order),
+                # Knife-edge term for occluded direct paths (rlr's
+                # `diffraction` flag; see rir.raytracer.diffracted_path_ir)
+                diffraction=bool(self.cfg.diffraction),
                 # Bounce-loop queries run the dense streamed Pallas kernels at
                 # any face count: rays leaving SURFACES graze face-dense cells,
                 # where the uniform-grid DDA degenerates to hundreds of
