@@ -6,6 +6,9 @@ native:
 	g++ -O3 -shared -fPIC -o cpp/libgeom.so cpp/geomlib.cpp
 
 tests: native
+	python -m pytest tests/ -x -q -m "not e2e"
+
+tests-all: native
 	python -m pytest tests/ -x -q
 
 tests-parallel: native

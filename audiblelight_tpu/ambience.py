@@ -102,7 +102,16 @@ class Ambience:
         if self.beta is not None:
             shape = (self.channels, total_samples)
             if self.beta == "gaussian":
-                out = np.random.normal(0, 1, shape)
+                # float32 + PCG: a 60 s 4-channel bed is ~6M samples, and the
+                # legacy float64 path cost seconds of host time per scene on
+                # the production pipeline (the bed is a -65 dB noise floor;
+                # precision is irrelevant). Seeding the fast generator from
+                # the global stream keeps renders reproducible under
+                # np.random.seed (the draw VALUES differ from the legacy
+                # float64 path, but the stream is still deterministic).
+                out = np.random.default_rng(
+                    np.random.randint(0, 2**31)
+                ).standard_normal(shape, dtype=np.float32)
             else:
                 out = powerlaw_psd_gaussian(self.beta, shape, **self.noise_kwargs)
         else:
@@ -127,10 +136,14 @@ class Ambience:
             out = np.tile(utils.coerce2d(ambient), (tile_channels, repeats))[:, :total_samples]
 
         if normalize:
-            out = np.array(out, dtype=np.float64)
-            for c_idx in range(out.shape[0]):
-                channel = out[c_idx]
-                out[c_idx, :] = channel / np.max(np.abs(channel) + utils.tiny(channel))
+            # Vectorised per-channel peak normalisation; bitwise identical to
+            # the per-channel loop (max(|x| + tiny) == max|x| + tiny for a
+            # dtype-constant tiny). float32 input stays float32 (the fast
+            # gaussian path); everything else keeps the float64 contract.
+            if out.dtype != np.float32:
+                out = np.asarray(out, dtype=np.float64)
+            peak = np.max(np.abs(out), axis=1, keepdims=True) + utils.tiny(out)
+            out = out / peak
 
         self.audio = out
         return self.audio

@@ -40,6 +40,7 @@ __all__ = [
     "mix_plan_host",
     "render_scene_audio_compiled",
     "render_scenes_pipelined",
+    "FusedSceneRenderer",
 ]
 
 
@@ -113,11 +114,241 @@ def render_scene_audio_compiled(
     )
 
 
+class FusedSceneRenderer:
+    """ONE device program rendering a whole scene: RIR trace -> event gather ->
+    stems -> int16 quantise.
+
+    The plan pipeline issues ~20 separate device calls per scene (the trace,
+    the eager IR packing slices, the stem program, the quantise); through a
+    high-latency host link the dispatch issue time alone caps throughput. Here
+    everything runs as ONE jitted program whose per-scene quantities are
+    *inputs*: the PRNG key, padded source positions, listener capsules, the
+    per-face rain-visibility table, event->emitter gather maps (so variable
+    event counts and trajectory lengths within the bucket work), and the
+    plan's audio/weight/level tensors. Scene geometry, materials, and the rlr
+    config are captured as constants — every scene rendered through one
+    instance must share the template scene's mesh, mic rig, and bucket shapes
+    (`compatible()` checks; the dataset-run bucketing contract).
+
+    Restrictions: single microphone, RLR backend, and (for nonconvex meshes)
+    per-face rain visibility — `rain_visibility="face"` or "auto" with
+    mesh_simplification on. Numerics: the trace is driven by the same
+    worldstate PRNG-key walk as `trace_irs_device`, but XLA fuses the whole
+    pipeline into one program, so float accumulation order differs from the
+    plan path — stems match to ~1e-3 of peak (asserted in
+    tests/test_pipeline.py), not bitwise.
+    """
+
+    def __init__(self, scene, plan: ScenePlan):
+        import jax
+        import jax.numpy as jnp
+
+        ws = scene.state
+        if len(ws.microphones) != 1 or not hasattr(ws, "acoustic_tris_device"):
+            raise ValueError("fused renderer requires a single-mic RLR scene")
+        mic = next(iter(ws.microphones.values()))
+        occl = not ws.mesh.is_convex
+        if occl and ws._rain_mode() != "face":
+            raise ValueError(
+                "fused renderer on a nonconvex mesh needs per-face rain "
+                'visibility (rain_visibility="face", or "auto" with '
+                "mesh_simplification on)"
+            )
+        self._ws = ws
+        self._mic_layout = mic.channel_layout_type
+        if mic.channel_layout_type == "mic":
+            encoding = "omni"
+        else:
+            encoding = {"foa": "foa", "hoa2": "sh2", "hoa3": "sh3"}.get(
+                mic.channel_layout_type, "binaural"
+            )
+
+        atris = ws.acoustic_tris_device
+        amesh = ws.acoustic_mesh
+        # Normals precomputed OUTSIDE the fused program — computing them
+        # inside a larger fused jit miscompiles on the axon backend (see
+        # rir.raytracer module note).
+        normals = jnp.asarray(amesh.face_normals.astype(np.float32))
+        absorption, scattering, face_tau = ws.face_props_device
+        full_tris = ws.tris_device
+        simplified = atris is not full_tris
+        cfg = ws.cfg
+        sr = int(ws.sample_rate)
+        n_samples = int(round(float(cfg.max_ir_length) * sr))
+        mesh_tiles = None if simplified else ws.mesh_tiles
+
+        n_src = len(ws._emitter_positions())
+        bucket = 1
+        while bucket < n_src:
+            bucket *= 2
+        self._bucket = bucket
+        self._mesh_id = id(ws.mesh)
+        self._n_faces = int(ws.mesh.faces.shape[0])
+        self._occl = occl
+        self._shared_vis = bool(cfg.shared_visibility)
+        self._buckets = (
+            plan.static_irs.shape[0],
+            plan.moving_irs.shape[0],
+            plan.moving_irs.shape[2],
+            int(plan.static_audio.shape[1]),
+        )
+        es, em, j, _ = self._buckets
+
+        from audiblelight_tpu.render import render_event_stems_arrays
+
+        @jax.jit
+        def render(key, sources, listeners, face_occ, s_idx, m_idx,
+                   static_audio, static_mask, static_snr, static_len,
+                   static_place_len, moving_audio, moving_w, moving_mask,
+                   moving_snr, moving_len, moving_place_len, ref_db):
+            from audiblelight_tpu.rir.raytracer import trace_rirs_multi
+
+            irs = trace_rirs_multi(
+                key, atris, absorption, scattering, sources, listeners,
+                n_samples=n_samples, sr=sr,
+                n_rays=int(cfg.indirect_ray_count),
+                max_depth=min(int(cfg.indirect_ray_depth), 200),
+                bin_dt=float(cfg.hist_bin_dt),
+                c=float(cfg.speed_of_sound),
+                encoding=encoding,
+                occlusion=occl,
+                tri_normals=normals,
+                face_transmission=face_tau,
+                transmission=bool(cfg.transmission),
+                shared_visibility=bool(cfg.shared_visibility),
+                face_occlusion=face_occ if occl else None,
+                mesh_tiles=mesh_tiles,
+                tris_direct=full_tris if simplified else None,
+                sh_order_direct=int(cfg.direct_sh_order),
+                sh_order_indirect=int(cfg.indirect_sh_order),
+                diffraction=bool(cfg.diffraction),
+            )  # (C, bucket, S)
+            # Event->emitter gathers: -1 marks an empty slot (padded events /
+            # trajectory tails), zeroed after a clamped gather.
+            s_irs = jnp.take(irs, jnp.clip(s_idx, 0), axis=1)  # (C, es, S)
+            s_irs = jnp.where((s_idx >= 0)[None, :, None], s_irs, 0.0)
+            s_irs = s_irs.transpose(1, 0, 2)  # (es, C, S)
+            m_flat = jnp.take(irs, jnp.clip(m_idx, 0).reshape(-1), axis=1)
+            m_irs = m_flat.reshape(irs.shape[0], em, j, irs.shape[-1])
+            m_irs = jnp.where((m_idx >= 0)[None, :, :, None], m_irs, 0.0)
+            m_irs = m_irs.transpose(1, 0, 2, 3)  # (em, C, j, S)
+
+            stems = render_event_stems_arrays(
+                static_audio, s_irs, static_mask, static_snr,
+                static_len, static_place_len,
+                moving_audio, m_irs, moving_w, moving_mask, moving_snr,
+                moving_len, moving_place_len, ref_db,
+            )
+            return quantize_stems(stems)
+
+        self._render = render
+
+    def compatible(self, scene, plan: ScenePlan) -> bool:
+        """Can `scene` render through this compiled program? Same mesh object
+        (geometry/materials are captured constants), same mic rig + bucket
+        shapes, and a source count within the bucket."""
+        ws = scene.state
+        if len(ws.microphones) != 1 or not hasattr(ws, "acoustic_tris_device"):
+            return False
+        mic = next(iter(ws.microphones.values()))
+        buckets = (
+            plan.static_irs.shape[0],
+            plan.moving_irs.shape[0],
+            plan.moving_irs.shape[2],
+            int(plan.static_audio.shape[1]),
+        )
+        return (
+            id(ws.mesh) == self._mesh_id
+            and mic.channel_layout_type == self._mic_layout
+            and buckets == self._buckets
+            and len(ws._emitter_positions()) <= self._bucket
+            and (not self._occl or ws._rain_mode() == "face")
+        )
+
+    def scene_inputs(self, scene):
+        """Per-scene tracer inputs: (key, padded sources, listeners, face_occ,
+        s_idx, m_idx). Advances the worldstate PRNG key exactly like
+        `trace_irs_device` so a fused render consumes the same key stream."""
+        import jax
+        import jax.numpy as jnp
+
+        ws = scene.state
+        mic = next(iter(ws.microphones.values()))
+        src = ws._emitter_positions().astype(np.float32)
+        n_src = len(src)
+        if n_src > self._bucket:
+            raise ValueError(
+                f"scene has {n_src} emitters; this program buckets {self._bucket}"
+            )
+        if n_src < self._bucket:
+            src = np.concatenate([src, np.tile(src[:1], (self._bucket - n_src, 1))])
+
+        from audiblelight_tpu import utils
+
+        if mic.channel_layout_type == "mic":
+            caps = np.atleast_2d(
+                np.asarray(utils.coerce2d(mic.coordinates_absolute), np.float64)
+            )
+        else:
+            caps = np.atleast_2d(
+                np.asarray(utils.coerce2d(mic.coordinates_center), np.float64)
+            )
+
+        es, em, j, _ = self._buckets
+        s_idx = np.full(es, -1, dtype=np.int32)
+        m_idx = np.full((em, j), -1, dtype=np.int32)
+        si = mi = counter = 0
+        for event in scene.events.values():
+            n_em = len(event)
+            if event.is_moving:
+                if mi < em:
+                    n_j = min(n_em, j)
+                    m_idx[mi, :n_j] = np.arange(counter, counter + n_j)
+                mi += 1
+            else:
+                if si < es:
+                    s_idx[si] = counter
+                si += 1
+            counter += n_em
+
+        if self._occl:
+            pts = caps.mean(axis=0, keepdims=True) if self._shared_vis else caps
+            face_occ = ws.rain_occlusion_for(pts)
+        else:
+            face_occ = jnp.zeros((1, ws.acoustic_tris_device.shape[0]), bool)
+
+        ws._key, sub = jax.random.split(ws._key)
+        return (
+            sub,
+            jnp.asarray(src, jnp.float32),
+            jnp.asarray(caps, jnp.float32),
+            face_occ,
+            jnp.asarray(s_idx),
+            jnp.asarray(m_idx),
+        )
+
+    def __call__(self, scene, plan: ScenePlan):
+        """Render one scene: (int16 stems (E, C, S), float32 scales (E,)).
+        The plan may be built with `build_scene_plan(..., trace=False)` —
+        its IR banks are ignored; the fused program traces."""
+        args = self.scene_inputs(scene)
+        return self._render(
+            *args,
+            plan.static_audio, plan.static_mask, plan.static_snr,
+            plan.static_len, plan.static_place_len,
+            plan.moving_audio, plan.moving_w, plan.moving_mask,
+            plan.moving_snr, plan.moving_len, plan.moving_place_len,
+            plan.ref_db,
+        )
+
+
 def render_scenes_pipelined(
     scene_factory: Iterable,
     complete: Callable,
     max_in_flight: int = 4,
     plan_kwargs: Optional[dict] = None,
+    overlap_io: bool = True,
+    fused: bool = False,
 ) -> int:
     """Dispatch-ahead dataset pipeline.
 
@@ -130,14 +361,30 @@ def render_scenes_pipelined(
     `max_in_flight` scenes' device programs are queued ahead of the host, so
     placement/mix/IO for scene i overlap tracing/rendering for scenes i+1..N.
 
+    With `overlap_io=True` (default) the completion half — stem pull, mix,
+    `complete` (typically WAV/CSV writes) — runs on ONE worker thread while the
+    main thread keeps placing/dispatching the next scenes, so disk and
+    host-link waits overlap device compute; order is preserved by the queue.
+
+    With `fused=True` scenes render through ONE compiled device program
+    (`FusedSceneRenderer`, built from the first scene): trace + stems in a
+    single dispatch, the dataset-run fast path. Scenes whose layout falls
+    outside the first scene's buckets fall back to the plan path
+    transparently. Requires `plan_kwargs` to pin the buckets (max_static /
+    max_moving / max_traj / pad_audio_seconds) so every scene compiles to the
+    same program — the same contract `parallel.bucket_plans` serves.
+
     Returns the number of scenes completed.
     """
-    pending: list = []
-    done = 0
+    import queue as _queue
+    import threading
 
-    def _drain_one():
+    done = 0
+    errors: list = []
+
+    def _finish(item):
         nonlocal done
-        scene, plan, q, scales = pending.pop(0)
+        scene, plan, q, scales = item
         mixed = mix_plan_host(plan, q, scales)
         audio = OrderedDict(
             (alias, mixed[a:b]) for alias, a, b in mic_channel_spans(scene)
@@ -145,21 +392,71 @@ def render_scenes_pipelined(
         complete(scene, audio)
         done += 1
 
+    if overlap_io:
+        work: _queue.Queue = _queue.Queue(maxsize=max_in_flight)
+
+        def _worker():
+            while True:
+                item = work.get()
+                if item is None:
+                    return
+                try:
+                    _finish(item)
+                except Exception as exc:  # surfaced after join
+                    errors.append(exc)
+                finally:
+                    work.task_done()
+
+        thread = threading.Thread(target=_worker, daemon=True)
+        thread.start()
+
+    pending: list = []
+    renderers: dict = {}  # one fused program per mesh seen
     it: Iterator = iter(scene_factory)
-    while True:
-        scene = next(it, None)
-        if scene is None:
-            break
-        plan = build_scene_plan(scene, **(plan_kwargs or {}))
-        q, scales = stems_from_plan(plan)
-        for arr in (q, scales):
-            try:
-                arr.copy_to_host_async()
-            except (AttributeError, NotImplementedError):  # pragma: no cover
-                pass
-        pending.append((scene, plan, q, scales))
-        while len(pending) >= max_in_flight:
-            _drain_one()
-    while pending:
-        _drain_one()
+    try:
+        while True:
+            scene = next(it, None)
+            if scene is None:
+                break
+            if fused:
+                plan = build_scene_plan(scene, trace=False, **(plan_kwargs or {}))
+                mesh_key = id(getattr(scene.state, "mesh", scene.state))
+                renderer = renderers.get(mesh_key)
+                if renderer is None:
+                    try:
+                        renderer = renderers[mesh_key] = FusedSceneRenderer(scene, plan)
+                    except ValueError:
+                        renderer = None
+                if renderer is not None and renderer.compatible(scene, plan):
+                    q, scales = renderer(scene, plan)
+                else:  # layout outside the template's buckets: plan path
+                    plan = build_scene_plan(scene, **(plan_kwargs or {}))
+                    q, scales = stems_from_plan(plan)
+            else:
+                plan = build_scene_plan(scene, **(plan_kwargs or {}))
+                q, scales = stems_from_plan(plan)
+            for arr in (q, scales):
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, NotImplementedError):  # pragma: no cover
+                    pass
+            if overlap_io:
+                work.put((scene, plan, q, scales))
+                if errors:
+                    raise errors[0]
+            else:
+                pending.append((scene, plan, q, scales))
+                while len(pending) >= max_in_flight:
+                    _finish(pending.pop(0))
+        if overlap_io:
+            work.join()
+            if errors:
+                raise errors[0]
+        else:
+            while pending:
+                _finish(pending.pop(0))
+    finally:
+        if overlap_io:
+            work.put(None)
+            thread.join()
     return done

@@ -296,6 +296,7 @@ def build_scene_plan(
     max_moving: Optional[int] = None,
     max_traj: Optional[int] = None,
     pad_audio_seconds: Optional[float] = None,
+    trace: bool = True,
 ) -> ScenePlan:
     """Compile a Scene into a fixed-shape ScenePlan.
 
@@ -303,13 +304,25 @@ def build_scene_plan(
     the host, and packs everything into padded tensors. Bucket sizes default to
     the next power-of-two-ish of the actual counts so similar scenes share a
     compiled program.
+
+    With `trace=False` the RIR simulation is skipped and the plan's IR banks
+    are zeros — for `pipeline.FusedSceneRenderer`, whose single device program
+    traces the IRs itself (the plan then carries only audio/weights/levels).
     """
+    sr = scene.sample_rate
     # Prefer the backend's device-resident trace (no host round trip for the
     # IR banks — they go straight from the tracer into the stems program).
     on_device = hasattr(scene.state, "trace_irs_device")
-    if on_device:
+    if not trace:
+        if not on_device:
+            raise ValueError("trace=False requires a device-tracing backend")
+        all_irs = None
+        c_total = sum(int(m.n_channels) for m in scene.state.microphones.values())
+        ir_len = int(round(float(scene.state.cfg.max_ir_length) * sr))
+    elif on_device:
         irs_dict = scene.state.trace_irs_device()
         all_irs = jnp.concatenate(list(irs_dict.values()), axis=0)
+        c_total, _, ir_len = all_irs.shape
     else:
         try:
             irs_dict = scene.state.irs
@@ -317,16 +330,19 @@ def build_scene_plan(
             scene.state.simulate()
             irs_dict = scene.state.irs
         all_irs = np.concatenate([np.asarray(v) for v in irs_dict.values()], axis=0)
+        c_total, _, ir_len = all_irs.shape
 
-    sr = scene.sample_rate
     t = round(scene.duration * sr)
-    c_total, _, ir_len = all_irs.shape
 
     statics, movings = [], []
     emitter_counter = 0
     for alias, event in scene.events.items():
         n_em = len(event)
-        ev_irs = all_irs[:, emitter_counter : emitter_counter + n_em, :]
+        ev_irs = (
+            all_irs[:, emitter_counter : emitter_counter + n_em, :]
+            if all_irs is not None
+            else np.zeros((c_total, n_em, 0), dtype=np.float32)
+        )
         emitter_counter += n_em
         audio = event.load_audio(normalize=True)
         start = max(0, round(event.scene_start * sr))
@@ -421,7 +437,7 @@ def build_scene_plan(
         scale = 10 ** (amb.ref_db / 20.0) / (np.mean(np.abs(noise)) + utils.tiny(noise))
         ambience[: noise.shape[0]] += (scale * noise).astype(np.float32)
 
-    if on_device:
+    if on_device and trace:
         static_irs = pack_irs_device(
             statics, es, (ir_len,), lambda e: e["irs"][:, 0, :]
         )

@@ -129,7 +129,7 @@ def build_backend_kwargs(args, rng, room=None):
     raise ValueError(f"Unknown backend {args.backend}")
 
 
-def generate(
+def build_scene(
     args,
     split: str,
     scene_num: int,
@@ -137,12 +137,10 @@ def generate(
     rng: np.random.Generator,
     depth: int = 0,
     room: str = None,
-) -> None:
-    """Generate one complete scene (audio + DCASE csv + JSON), with resume/retry.
-
-    `room` names a room-table entry (seld_dataset_assets) when iterating an
-    asset split; scene_num then identifies the room within its split.
-    """
+):
+    """Construct + place one scene; returns (scene, audio_path, metadata_path)
+    or None when the outputs already exist (resume). Retries recursively when
+    zero events place."""
     fold = 1 if split == "train" else 2
     common = f"dev-{split}-alight/fold{fold}_scene{scene_num}_{str(scape_num).zfill(3)}"
     audio_path = Path(args.output_dir) / f"{args.channel_layout}_dev/{common}"
@@ -153,7 +151,7 @@ def generate(
     csv_out = metadata_path.parent / f"{metadata_path.name}_mic000.csv"
     if wav_out.is_file() and csv_out.is_file():
         logger.warning(f"Skipping existing scene {common}")
-        return
+        return None
 
     audio_path.parent.mkdir(parents=True, exist_ok=True)
     metadata_path.parent.mkdir(parents=True, exist_ok=True)
@@ -204,9 +202,50 @@ def generate(
         if depth >= 5:
             raise RuntimeError(f"Could not place any events for scene {common}")
         logger.warning(f"No events placed for {common}; retrying...")
-        return generate(args, split, scene_num, scape_num, rng, depth + 1, room=room)
+        return build_scene(args, split, scene_num, scape_num, rng, depth + 1, room=room)
 
     scene.add_ambience(noise="gaussian")
+    return scene, audio_path, metadata_path
+
+
+def write_outputs(scene, audio_path: Path, metadata_path: Path) -> None:
+    """Write the DCASE outputs for an already-rendered scene (scene.audio set):
+    per-mic WAVs next to audio_path, metadata JSON + DCASE CSVs under
+    metadata_path. Matches Scene.generate's file layout."""
+    import json
+
+    from audiblelight_tpu.io.audio import wav_write
+    from audiblelight_tpu.synthesize import generate_dcase2024_metadata
+
+    for mic_alias, mic_audio in scene.audio.items():
+        wav_write(
+            audio_path.parent / f"{audio_path.name}_{mic_alias}.wav",
+            mic_audio,
+            int(scene.sample_rate),
+        )
+    with open(metadata_path.with_suffix(".json"), "w") as f:
+        json.dump(scene.to_dict(), f, indent=4, ensure_ascii=False)
+    for mic, df in generate_dcase2024_metadata(scene).items():
+        df.to_csv(
+            metadata_path.parent / f"{metadata_path.name}_{mic}.csv",
+            sep=",", encoding="utf-8", header=None,
+        )
+
+
+def generate(
+    args,
+    split: str,
+    scene_num: int,
+    scape_num: int,
+    rng: np.random.Generator,
+    depth: int = 0,
+    room: str = None,
+) -> None:
+    """Generate one complete scene (audio + DCASE csv + JSON), with resume/retry."""
+    built = build_scene(args, split, scene_num, scape_num, rng, depth, room=room)
+    if built is None:
+        return
+    scene, audio_path, metadata_path = built
     scene.generate(
         output_dir=audio_path.parent,
         audio=True,
@@ -223,6 +262,52 @@ def generate(
         produced.rename(metadata_path.parent / produced.name)
     for produced in audio_path.parent.glob(f"{audio_path.name}.json"):
         produced.rename(metadata_path.parent / produced.name)
+
+
+def generate_fused(args, jobs, rng: np.random.Generator) -> None:
+    """Render every job through ONE compiled device program
+    (pipeline.render_scenes_pipelined(fused=True)): trace + stems in a single
+    dispatch per scene, placement/IO overlapped with device compute — the
+    dataset-scale fast path bench.py's headline measures. Scenes whose layout
+    exceeds the bucket shapes fall back to the plan path transparently.
+    """
+    from audiblelight_tpu.pipeline import render_scenes_pipelined
+
+    paths = {}
+
+    def factory():
+        for idx, (split, scene_num, room, scape) in enumerate(jobs):
+            logger.warning(f"[{idx + 1}/{len(jobs)}] {split} scene {scene_num} scape {scape}")
+            built = build_scene(args, split, scene_num, scape, rng, room=room)
+            if built is None:
+                continue
+            scene, audio_path, metadata_path = built
+            paths[id(scene)] = (audio_path, metadata_path)
+            yield scene
+
+    def complete(scene, audio):
+        scene.audio = audio
+        audio_path, metadata_path = paths.pop(id(scene))
+        write_outputs(scene, audio_path, metadata_path)
+
+    def bucket(n):
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+
+    render_scenes_pipelined(
+        factory(),
+        complete,
+        max_in_flight=4,
+        plan_kwargs=dict(
+            max_static=bucket(max(args.max_events_static, 1)),
+            max_moving=bucket(max(args.max_events_moving, 1)),
+            max_traj=32,
+            pad_audio_seconds=config.MAX_EVENT_DURATION,
+        ),
+        fused=True,
+    )
 
 
 def main():
@@ -276,9 +361,12 @@ def main():
     parser.add_argument("--duration", type=float, default=DURATION)
     parser.add_argument("--seed", type=int, default=utils.SEED)
     parser.add_argument(
-        "--pipeline", choices=["compiled", "classic"], default="compiled",
-        help="compiled = whole-scene device stem programs + host mix (the "
-        "benchmarked production path); classic = reference-style per-event loop",
+        "--pipeline", choices=["fused", "compiled", "classic"], default=None,
+        help="fused = ONE device dispatch per scene (trace + stems in a single "
+        "compiled program, dispatch-ahead, IO overlapped — bench.py's headline "
+        "path; rlr backend, the rlr default); compiled = whole-scene device "
+        "stem programs + host mix (default elsewhere); classic = "
+        "reference-style per-event loop",
     )
     parser.add_argument(
         "--mesh-simplification", action=argparse.BooleanOptionalAction, default=True,
@@ -286,6 +374,8 @@ def main():
         "room (exact direct path keeps the full mesh); rlr backend only",
     )
     args = parser.parse_args()
+    if args.pipeline is None:
+        args.pipeline = "fused" if args.backend == "rlr" else "compiled"
 
     rng = np.random.default_rng(args.seed)
 
@@ -306,20 +396,21 @@ def main():
             for room_idx, room in enumerate(chosen[split]):
                 for scape in range(per_room):
                     jobs.append((split, room_idx, room, scape))
-        for idx, (split, room_idx, room, scape) in enumerate(jobs):
-            logger.warning(
-                f"[{idx + 1}/{len(jobs)}] {split} room {room} scape {scape}"
-            )
-            generate(args, split, scene_num=room_idx, scape_num=scape, rng=rng, room=room)
+    else:
+        n_train = round(args.n_scenes * args.train_frac)
+        jobs = [("train", 1, None, i) for i in range(n_train)] + [
+            ("test", 1, None, i) for i in range(args.n_scenes - n_train)
+        ]
+
+    if args.pipeline == "fused":
+        if args.backend != "rlr":
+            raise SystemExit("--pipeline fused requires the rlr backend")
+        generate_fused(args, jobs, rng)
         return
 
-    n_train = round(args.n_scenes * args.train_frac)
-    jobs = [("train", i) for i in range(n_train)] + [
-        ("test", i) for i in range(args.n_scenes - n_train)
-    ]
-    for idx, (split, scape_num) in enumerate(jobs):
-        logger.warning(f"[{idx + 1}/{len(jobs)}] generating {split} scene {scape_num}")
-        generate(args, split, scene_num=1, scape_num=scape_num, rng=rng)
+    for idx, (split, scene_num, room, scape) in enumerate(jobs):
+        logger.warning(f"[{idx + 1}/{len(jobs)}] {split} scene {scene_num} scape {scape}")
+        generate(args, split, scene_num=scene_num, scape_num=scape, rng=rng, room=room)
 
 
 if __name__ == "__main__":

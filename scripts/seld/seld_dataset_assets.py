@@ -186,17 +186,24 @@ def synthetic_room(room_name: str):
     )
 
 
+_ROOM_CACHE: dict = {}
+
+
 def resolve_room(room_name: str, mesh_dir: Union[str, Path, None]):
     """Resolve a room table entry to a renderable mesh.
 
     Returns the real `.glb` Path when it exists under `mesh_dir`, otherwise the
-    deterministic synthetic stand-in room (see synthetic_room).
+    deterministic synthetic stand-in room (see synthetic_room). Stand-ins are
+    cached per name so consecutive scapes in one room share the TriMesh object
+    (and with it accel structures and the fused render program).
     """
     if mesh_dir is not None:
         candidate = Path(mesh_dir) / room_name
         if candidate.is_file():
             return candidate
-    return synthetic_room(room_name)
+    if room_name not in _ROOM_CACHE:
+        _ROOM_CACHE[room_name] = synthetic_room(room_name)
+    return _ROOM_CACHE[room_name]
 
 
 def get_assets(backend: str, asset_split: str) -> dict:

@@ -46,6 +46,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+import pytest
+
+
+@pytest.mark.e2e
 def test_two_process_cpu_cluster(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER.format(repo=str(REPO)))

@@ -10,6 +10,7 @@ import pathlib
 import sys
 
 import jax
+import pytest
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
@@ -25,6 +26,7 @@ def test_dryrun_multichip_in_process():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.e2e
 def test_dryrun_multichip_self_provisions_subprocess():
     """Asking for more devices than exist must trigger the subprocess fallback
     that forces a virtual CPU mesh — the exact path the driver exercises when

@@ -173,3 +173,101 @@ def test_render_scenes_pipelined_matches_single(fg_dir):
     outs = [got[id(s)] for s in scenes]
     for single, out in zip(singles, outs):
         np.testing.assert_allclose(single, out, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-dispatch renderer (trace + stems in ONE device program)
+# ---------------------------------------------------------------------------
+
+PLAN_KW = dict(max_static=2, max_moving=1, max_traj=8, pad_audio_seconds=2.0)
+
+
+@pytest.fixture(scope="module")
+def scan_mesh():
+    from audiblelight_tpu.geometry.mesh import scanned_like_room
+
+    return scanned_like_room(extents=(6.0, 4.0, 3.0), seed=0)
+
+
+def make_scanned_scene(fg_dir, scan_mesh, seed=0):
+    """Nonconvex occlusion-on scene (the bench headline regime, small)."""
+    scene = Scene(
+        duration=6.0, sample_rate=24000, backend="rlr",
+        fg_path=fg_dir,
+        backend_kwargs=dict(
+            mesh=scan_mesh, seed=seed,
+            rlr_kwargs=dict(
+                indirect_ray_count=200, indirect_ray_depth=6,
+                max_ir_length=0.15, mesh_simplification=True,
+            ),
+        ),
+    )
+    scene.add_microphone(microphone_type="ambeovr", alias="m")
+    scene.add_event(
+        event_type="static", alias="s0",
+        scene_start=1.0, event_start=0.0, duration=2.0, snr=10.0,
+        filepath=fg_dir / "maleSpeech" / "maleSpeech.wav",
+        max_place_attempts=200,
+    )
+    scene.add_event(
+        event_type="moving", alias="m0", shape="linear",
+        scene_start=3.0, event_start=0.0, duration=2.0, snr=8.0,
+        spatial_velocity=1.0, spatial_resolution=2.0,
+        filepath=fg_dir / "music" / "music.wav",
+        max_place_attempts=200,
+    )
+    return scene
+
+
+def test_fused_renderer_matches_plan_path(fg_dir, scan_mesh):
+    """With the SAME tracer key, the fused single-dispatch program produces
+    the plan path's stems up to XLA reassociation (~1e-3 of int16 full scale)."""
+    import jax
+
+    from audiblelight_tpu.pipeline import FusedSceneRenderer, stems_from_plan
+    from audiblelight_tpu.render import build_scene_plan
+
+    scene = make_scanned_scene(fg_dir, scan_mesh)
+    ws = scene.state
+    ws._key = jax.random.PRNGKey(123)
+    plan = build_scene_plan(scene, **PLAN_KW)
+    q0, s0 = stems_from_plan(plan)
+
+    plan_nt = build_scene_plan(scene, trace=False, **PLAN_KW)
+    assert float(np.abs(np.asarray(plan_nt.static_irs)).max()) == 0.0  # no trace
+    renderer = FusedSceneRenderer(scene, plan_nt)
+    assert renderer.compatible(scene, plan_nt)
+    ws._key = jax.random.PRNGKey(123)
+    q1, s1 = renderer(scene, plan_nt)
+
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=2e-3)
+    diff = np.abs(np.asarray(q0, np.int32) - np.asarray(q1, np.int32)).max()
+    assert diff <= 64, f"fused stems diverge from plan path: {diff} LSBs"
+
+
+def test_render_scenes_pipelined_fused_matches(fg_dir, scan_mesh):
+    """fused=True end-to-end: same audio as the plan pipeline (same PRNG key
+    walk), one compiled program reused across scenes, fallback not triggered."""
+
+    def collect(fused):
+        np.random.seed(7)  # ambience beds draw from the global stream
+        scenes = [make_scanned_scene(fg_dir, scan_mesh, seed=i) for i in range(2)]
+        for s in scenes:
+            s.add_ambience(noise="gaussian")
+        got = {}
+
+        def complete(scene, audio):
+            got[id(scene)] = audio["m"]
+
+        n = render_scenes_pipelined(
+            iter(scenes), complete, plan_kwargs=PLAN_KW, fused=fused
+        )
+        assert n == 2
+        return [got[id(s)] for s in scenes]
+
+    ref = collect(False)
+    out = collect(True)
+    for r, o in zip(ref, out):
+        assert r.shape == o.shape
+        scale = np.abs(r).max()
+        assert np.max(np.abs(r - o)) / scale < 1e-2

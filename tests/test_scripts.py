@@ -64,6 +64,7 @@ def run_script(script, *args):
     )
 
 
+@pytest.mark.e2e
 def test_seld_generate_dataset(fg_dir, tmp_path):
     res = run_script(
         "scripts/seld/generate_dataset.py",
@@ -103,6 +104,7 @@ def test_seld_generate_dataset(fg_dir, tmp_path):
     assert "Skipping existing scene" in (res2.stderr + res2.stdout)
 
 
+@pytest.mark.e2e
 def test_ssseg_generate_dataset(fg_dir_2025, tmp_path):
     res = run_script(
         "scripts/ssseg/generate_dataset.py",
@@ -119,6 +121,7 @@ def test_ssseg_generate_dataset(fg_dir_2025, tmp_path):
     assert len(stems) >= 1  # dry stems rendered
 
 
+@pytest.mark.e2e
 def test_generate_benchmark_script(tmp_path):
     res = run_script(
         "scripts/generate/benchmark.py",
@@ -130,6 +133,7 @@ def test_generate_benchmark_script(tmp_path):
     assert "avg_seconds_per_scene=" in res.stdout
 
 
+@pytest.mark.e2e
 def test_convert_to_dcase_format(fg_dir, tmp_path):
     # First generate a scene, then convert its layout
     gen_dir = tmp_path / "gen"
@@ -157,6 +161,7 @@ def test_convert_to_dcase_format(fg_dir, tmp_path):
     assert (conv_dir / "metadata_dev/dev-train-synth/fold1_room1_mix001.csv").is_file()
 
 
+@pytest.mark.e2e
 def test_download_rirs_convert_offline(tmp_path):
     """The offline npy->SOFA conversion path works without network."""
     rng = np.random.default_rng(0)
@@ -326,6 +331,7 @@ def test_seld_assets_table_sanity():
     assert assets.resolve_room("Helix.glb", None).metadata["synthetic_stand_in"]
 
 
+@pytest.mark.e2e
 def test_seld_generate_dataset_from_assets(fg_dir, tmp_path):
     """--assets iterates rooms x splits from the table (DCASE2023 layout)."""
     res = run_script(
