@@ -4,6 +4,7 @@
 
 native:
 	g++ -O3 -shared -fPIC -o cpp/libgeom.so cpp/geomlib.cpp
+	-gcc -O2 -shared -fPIC -o cpp/libh264mux.so cpp/h264mux.c -lavformat -lavcodec -lavutil
 
 tests: native
 	python -m pytest tests/ -x -q -m "not e2e"

@@ -623,12 +623,19 @@ def generate_scene_video_from_events(
     from pathlib import Path
 
     from audiblelight_tpu.io.avi import write_mjpeg_avi
+    from audiblelight_tpu.io.h264 import h264_available, write_h264_mp4
     from audiblelight_tpu.io.mp4 import write_mjpeg_mp4
 
-    # Primary output: MJPEG in an MP4 container (matching the reference's mp4
-    # output, reference synthesize.py:1202-1280, via our own ISO-BMFF muxer);
-    # an MJPEG AVI and a GIF are written alongside for maximum player reach.
-    out = write_mjpeg_mp4(Path(video_path).with_suffix(".mp4"), frames_out, fps)
+    # Primary output: H.264 MP4 (the reference's OpenCV VideoWriter codec,
+    # reference synthesize.py:1202-1280) via the native libavcodec shim;
+    # MJPEG-in-MP4 through our own ISO-BMFF muxer when the shim is
+    # unavailable. An MJPEG AVI and a GIF are written alongside for players
+    # (and environments) without H.264 support.
+    mp4_path = Path(video_path).with_suffix(".mp4")
+    if h264_available():
+        out = write_h264_mp4(mp4_path, frames_out, fps)
+    else:
+        out = write_mjpeg_mp4(mp4_path, frames_out, fps)
     write_mjpeg_avi(Path(video_path).with_suffix(".avi"), frames_out, fps)
     gif = Path(video_path).with_suffix(".gif")
     frames_out[0].save(
