@@ -121,6 +121,19 @@ USE_PALLAS_RAYCAST = True
 # each block's worst (grazing) ray — so it stays off by default.
 USE_STAR_OCCLUSION = True
 USE_TILED_FIRST_HIT = False
+# MXU-formulated first hit (ops/mxu_first_hit.py): Moller-Trumbore rewritten
+# as (rays, 16) x (16, faces) matmuls. Ships DEFAULT-OFF as a documented
+# negative result for the scanned-LOD regime: the matmul's bf16 input rounding
+# noise is amplified by ~(room radius / face size) on the cancellation-prone
+# barycentric numerators, and the min over thousands of noisy window tests
+# selects the extreme noise — false hits teleport rays and collapse RT60
+# (650 -> 407 ms measured on chip) despite self-face masking and exact plane-t
+# re-evaluation. Precision fixes don't pay: Pallas supports only DEFAULT /
+# HIGHEST dots, and HIGHEST (854 ms) or a 3-dot bf16x3 emulation costs the
+# entire ~2.3 ms/bounce the MXU saved (581 vs 720 ms per 60-bounce scan).
+# The kernel + tests remain for large-face meshes, where the amplification
+# ratio is ~1 and bf16 selection is sound.
+USE_MXU_FIRST_HIT = False
 # Above this face count WorldStateRLR builds a uniform-grid acceleration
 # structure (geometry.grid) — O(cells crossed) per ray instead of O(F) — the
 # scanned-mesh regime; below it the dense VMEM-tiled Pallas kernels win.

@@ -176,6 +176,9 @@ class FusedSceneRenderer:
         sr = int(ws.sample_rate)
         n_samples = int(round(float(cfg.max_ir_length) * sr))
         mesh_tiles = None if simplified else ws.mesh_tiles
+        # Full-mesh placement grid for the direct/diffraction occlusion
+        # segments (interior-origin regime; see trace_rirs_multi.accel_direct)
+        accel_direct = ws.grid_accel if occl else None
 
         n_src = len(ws._emitter_positions())
         bucket = 1
@@ -222,6 +225,7 @@ class FusedSceneRenderer:
                 sh_order_direct=int(cfg.direct_sh_order),
                 sh_order_indirect=int(cfg.indirect_sh_order),
                 diffraction=bool(cfg.diffraction),
+                accel_direct=accel_direct,
             )  # (C, bucket, S)
             # Event->emitter gathers: -1 marks an empty slot (padded events /
             # trajectory tails), zeroed after a clamped gather.

@@ -48,6 +48,28 @@ def _use_fused_deposit() -> bool:
     return bool(getattr(config, "USE_PALLAS_RAYCAST", True)) and pallas_supported()
 
 
+def _mxu_tables_for(tris, accel, mesh_tiles):
+    """Face tables for the MXU bounce first-hit, or None when it doesn't apply.
+
+    The MXU formulation serves the stochastic wavefront on TPU for meshes that
+    fit its VMEM tables (shoeboxes, acoustic LODs). Callers with an explicit
+    accel/tile structure, non-TPU backends, or big meshes keep the exact
+    kernels. Built ONCE before the bounce scan — the tables are loop
+    constants.
+    """
+    from audiblelight_tpu.ops.mxu_first_hit import MXU_F_MAX, build_mxu_face_tables
+
+    if (
+        getattr(config, "USE_MXU_FIRST_HIT", True)
+        and pallas_supported()
+        and accel is None
+        and mesh_tiles is None
+        and tris.shape[0] <= MXU_F_MAX
+    ):
+        return build_mxu_face_tables(tris)
+    return None
+
+
 def _sphere_directions(key, n: int) -> jnp.ndarray:
     """n uniformly distributed unit vectors."""
     v = jax.random.normal(key, (n, 3))
@@ -220,13 +242,18 @@ def trace_energy_histogram(
 
     hist0 = jnp.zeros((c_out, n_bands, n_bins), dtype=jnp.float32)
     keys = jax.random.split(key, max_depth)
+    mxu_tables = _mxu_tables_for(tris, accel, mesh_tiles)
 
     def bounce(carry, k_step):
-        origins, dirs, energy, dist, alive, hist = carry
+        origins, dirs, energy, dist, alive, prev_face, hist = carry
 
         if mesh_tiles is not None:
             # Reachability-culled first hit (surface-origin wavefront regime)
             t, face = tiled_first_hit(mesh_tiles, origins, dirs)
+        elif mxu_tables is not None:
+            from audiblelight_tpu.ops.mxu_first_hit import mxu_first_hit
+
+            t, face = mxu_first_hit(mxu_tables, origins, dirs, prev_face)
         else:
             t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
         hit_ok = alive & jnp.isfinite(t)
@@ -356,9 +383,13 @@ def trace_energy_histogram(
             & (new_dist < c * n_bins * bin_dt)
         )
 
-        return (new_origins, new_dirs, new_energy, new_dist, new_alive, hist), None
+        # Next bounce excludes the face just hit (MXU kernel self-mask);
+        # -1 where the ray missed.
+        new_prev = jnp.where(hit_ok, face, -1)
+        return (new_origins, new_dirs, new_energy, new_dist, new_alive, new_prev, hist), None
 
-    hist = _bounce_until_dead(bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys, max_depth)
+    prev0 = jnp.full(origins0.shape[:1], -1, jnp.int32)
+    hist = _bounce_until_dead(bounce, (origins0, dirs0, energy0, dist0, alive0, prev0, hist0), keys, max_depth)
     return hist
 
 
@@ -380,8 +411,8 @@ def _bounce_until_dead(bounce, init, keys, max_depth):
         new_carry, _ = bounce(carry, keys[i])
         return (i + 1, new_carry)
 
-    _, (_, _, _, _, _, hist) = jax.lax.while_loop(cond, body, (jnp.asarray(0), init))
-    return hist
+    _, final = jax.lax.while_loop(cond, body, (jnp.asarray(0), init))
+    return final[-1]  # hist is the carry's last element
 
 
 @partial(
@@ -523,6 +554,74 @@ def direct_path_ir(
     ir = jnp.zeros((c_out, n_samples), dtype=jnp.float32)
     ir = ir.at[jnp.arange(c_out)[:, None], idx].add(vals)
     return ir
+
+
+@partial(jax.jit, static_argnames=("n_samples", "sr", "encoding", "sh_order"))
+def direct_paths_ir(
+    tris: jnp.ndarray,
+    source_positions: jnp.ndarray,
+    listener_pos: jnp.ndarray,
+    n_samples: int,
+    sr: int = config.SAMPLE_RATE,
+    c: float = config.SPEED_OF_SOUND,
+    encoding: str = "omni",
+    accel=None,
+    sh_order: int = 3,
+) -> jnp.ndarray:
+    """direct_path_ir for a BATCH of sources with ONE occlusion query.
+
+    The vmapped single-source form issued one Pallas any-hit call per source;
+    with 4 listener segments padding to 4096 kernel lanes that wasted 99% of
+    each dispatch and dominated trace_rirs_multi's fixed cost on scanned
+    meshes (~220 ms for 16 sources on a 110k-face room vs <5 ms batched
+    through the placement grid). Per-element math is identical to
+    direct_path_ir — same occlusion contract, same windowed sinc.
+
+    Returns (E, C_out, n_samples).
+    """
+    source_positions = jnp.atleast_2d(source_positions)
+    listener_pos = jnp.atleast_2d(listener_pos)
+    n_src = source_positions.shape[0]
+    cl = listener_pos.shape[0]
+
+    vec = source_positions[:, None, :] - listener_pos[None, :, :]  # (E, C, 3)
+    d = jnp.linalg.norm(vec, axis=-1)  # (E, C)
+    dirs = vec / jnp.maximum(d[..., None], 1e-9)
+    starts = jnp.broadcast_to(listener_pos[None], (n_src, cl, 3)).reshape(-1, 3)
+    ends = jnp.repeat(source_positions, cl, axis=0)
+    occ = segments_occluded(starts, ends, tris, accel=accel).reshape(n_src, cl)
+    amp = (~occ) / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))  # (E, C)
+
+    if encoding == "binaural":
+        gains = binaural_encoding_gains(dirs[:, 0, :])  # (E, 2)
+        amps = amp[:, 0:1] * gains
+        delays = jnp.broadcast_to((d[:, 0] * sr / c)[:, None], gains.shape)
+    elif encoding != "omni":
+        gains = _ambi_gains(dirs[:, 0, :], sh_order, encoding)  # (E, C_out)
+        amps = amp[:, 0:1] * gains
+        delays = jnp.broadcast_to((d[:, 0] * sr / c)[:, None], gains.shape)
+    else:
+        amps = amp
+        delays = d * sr / c
+
+    c_out = amps.shape[1]
+    n_taps = 32
+    window = jnp.asarray(np.hanning(2 * n_taps + 1), dtype=jnp.float32)
+    tap_offsets = jnp.arange(-n_taps, n_taps + 1)
+
+    d_int = jnp.floor(delays).astype(jnp.int32)  # (E, C_out)
+    d_frac = delays - d_int
+    x = tap_offsets[None, None, :].astype(jnp.float32) - d_frac[..., None]
+    taps = jnp.sinc(x) * window[None, None, :]
+    pos = d_int[..., None] + tap_offsets[None, None, :]
+    idx = jnp.clip(pos, 0, n_samples - 1)
+    in_range = (pos >= 0) & (pos < n_samples)
+    vals = amps[..., None] * taps * in_range
+
+    ir = jnp.zeros((n_src, c_out, n_samples), dtype=jnp.float32)
+    e_idx = jnp.arange(n_src)[:, None, None]
+    c_idx = jnp.arange(c_out)[None, :, None]
+    return ir.at[e_idx, c_idx, idx].add(vals)
 
 
 @partial(jax.jit, static_argnames=("n_samples", "sr", "encoding", "sh_order", "n_angles", "n_radii"))
@@ -845,12 +944,17 @@ def trace_energy_histogram_multi(
 
     hist0 = jnp.zeros((n_sources, c_out, n_bands, n_bins), dtype=jnp.float32)
     keys = jax.random.split(key, max_depth)
+    mxu_tables = _mxu_tables_for(tris, accel, mesh_tiles)
 
     def bounce(carry, k_step):
-        origins, dirs, energy, dist, alive, hist = carry
+        origins, dirs, energy, dist, alive, prev_face, hist = carry
 
         if mesh_tiles is not None:
             t, face = tiled_first_hit(mesh_tiles, origins, dirs)
+        elif mxu_tables is not None:
+            from audiblelight_tpu.ops.mxu_first_hit import mxu_first_hit
+
+            t, face = mxu_first_hit(mxu_tables, origins, dirs, prev_face)
         else:
             t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
         hit_ok = alive & jnp.isfinite(t)
@@ -991,10 +1095,14 @@ def trace_energy_histogram_multi(
             & (jnp.max(new_energy, axis=-1) * n_rays > 1e-6)
             & (new_dist < c * n_bins * bin_dt)
         )
-        return (new_origins, new_dirs, new_energy, new_dist, new_alive, hist), None
+        # Next bounce excludes the face just hit (MXU kernel self-mask);
+        # -1 where the ray missed.
+        new_prev = jnp.where(hit_ok, face, -1)
+        return (new_origins, new_dirs, new_energy, new_dist, new_alive, new_prev, hist), None
 
+    prev0 = jnp.full(origins0.shape[:1], -1, jnp.int32)
     hist = _bounce_until_dead(
-        bounce, (origins0, dirs0, energy0, dist0, alive0, hist0), keys, max_depth
+        bounce, (origins0, dirs0, energy0, dist0, alive0, prev0, hist0), keys, max_depth
     )
     return hist
 
@@ -1027,6 +1135,7 @@ def trace_rirs_multi(
     sh_order_direct: int = 3,
     sh_order_indirect: int = 1,
     diffraction: bool = False,
+    accel_direct=None,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
@@ -1035,6 +1144,12 @@ def trace_rirs_multi(
     With `diffraction=True`, occluded direct paths gain a first-order
     knife-edge component (diffracted_path_ir; the rlr config's `diffraction`
     flag).
+
+    `accel_direct` (geometry.grid.build_grid over the DIRECT-path mesh) serves
+    the few direct/diffraction occlusion segments — the interior-origin regime
+    where the DDA grid is ~100x the dense kernels. It is deliberately separate
+    from `accel`: the bounce loop's surface-origin wavefront must stay on the
+    dense streaming kernels where the grid degenerates.
 
     Returns (C_out, E, n_samples).
     """
@@ -1082,20 +1197,18 @@ def trace_rirs_multi(
         )
     )(synth_keys, hist)  # (E, C_out, S)
 
-    directs = jax.vmap(
-        lambda src: direct_path_ir(
-            tris if tris_direct is None else tris_direct,
-            src, listener_pos, n_samples, sr=sr, c=c, encoding=encoding,
-            accel=accel, sh_order=sh_order_direct,
-        )
-    )(source_positions)  # (E, C_out, S)
+    td = tris if tris_direct is None else tris_direct
+    a_dir = accel_direct if accel_direct is not None else accel
+    directs = direct_paths_ir(
+        td, source_positions, listener_pos, n_samples, sr=sr, c=c,
+        encoding=encoding, accel=a_dir, sh_order=sh_order_direct,
+    )  # (E, C_out, S)
 
     if diffraction:
-        td = tris if tris_direct is None else tris_direct
         directs = directs + jax.vmap(
             lambda src: diffracted_path_ir(
                 td, src, listener_pos, band_freqs, n_samples, sr=sr, c=c,
-                encoding=encoding, accel=accel, sh_order=sh_order_direct,
+                encoding=encoding, accel=a_dir, sh_order=sh_order_direct,
             )
         )(source_positions)
 

@@ -821,6 +821,11 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 # interior-origin regime instead: placement queries and
                 # create_scene raycasts.
                 accel=None,
+                # ... which is exactly the regime of the few direct/diffraction
+                # occlusion segments (listener->source, interior origins):
+                # batched through the full-mesh placement grid they cost ~2 ms
+                # where per-source dense dispatches cost ~220 ms.
+                accel_direct=self.grid_accel if not self.mesh.is_convex else None,
             )
             out[alias] = irs[:, :n_src, :]  # drop bucketing dummies (on device)
         self._irs_device_cache = (cache_key, out)
