@@ -439,9 +439,19 @@ def synthesize_ir_from_histogram(
     c_out, n_bands, n_bins = hist.shape
     bin_samples = bin_dt * sr
 
+    # Carrier FFT length: on TPU, non-power-of-two FFTs (e.g. 24000 = 2^5*3*5^3)
+    # lower to slow mixed-radix/Bluestein code; the carriers are band-filtered
+    # NOISE, so synthesising them at the next power of two and cropping to
+    # n_samples is statistically identical and measurably faster. CPU keeps the
+    # exact-length transform so pinned golden fixtures stay stable.
+    if pallas_supported():
+        n_fft = 1 << (n_samples - 1).bit_length()
+    else:
+        n_fft = n_samples
+
     # --- band filterbank (complementary in power) ----------------------------
-    n_freq = n_samples // 2 + 1
-    freqs = jnp.arange(n_freq) * (sr / n_samples)
+    n_freq = n_fft // 2 + 1
+    freqs = jnp.arange(n_freq) * (sr / n_fft)
     band_freqs = jnp.asarray(band_freqs, dtype=jnp.float32)
     if n_bands == 1:
         power_w = jnp.ones((1, n_freq))
@@ -462,14 +472,14 @@ def synthesize_ir_from_histogram(
 
     # --- noise carriers ------------------------------------------------------
     n_carriers = n_bands if encoding != "omni" else c_out * n_bands
-    white = jax.random.normal(key, (n_carriers, n_samples))
+    white = jax.random.normal(key, (n_carriers, n_fft))
     spec = jnp.fft.rfft(white, axis=-1)
     if encoding == "omni":
         spec = spec.reshape(c_out, n_bands, n_freq) * filt[None]
-        carriers = jnp.fft.irfft(spec, n=n_samples, axis=-1)  # (C, B, S)
+        carriers = jnp.fft.irfft(spec, n=n_fft, axis=-1)[..., :n_samples]
     else:
         spec = spec * filt
-        carriers = jnp.fft.irfft(spec, n=n_samples, axis=-1)[None]  # (1, B, S)
+        carriers = jnp.fft.irfft(spec, n=n_fft, axis=-1)[None, ..., :n_samples]
         carriers = jnp.broadcast_to(carriers, (c_out, n_bands, n_samples))
     # per-band carrier variance (analytic): mean power = sum(|H|^2)/n_freq-ish;
     # compute empirically in-graph for robustness.

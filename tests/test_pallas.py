@@ -36,9 +36,20 @@ def _random_tris(rng, n):
 def _check(origins, dirs, tris):
     t_p, idx_p = ray_first_hit_pallas(origins, dirs, tris, interpret=True)
     t_x, idx_x = _ray_mesh_first_hit_xla(origins, dirs, tris)
-    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), rtol=1e-6, atol=1e-6)
-    # idx can only legitimately differ where two faces tie on t; none here
-    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    t_p, idx_p, t_x, idx_x = map(np.asarray, (t_p, idx_p, t_x, idx_x))
+    # The big kernel evaluates Moller-Trumbore through precomputed
+    # triple-product constants (an exact algebraic rearrangement, different
+    # f32 rounding) — t agrees to ~1e-5 absolute; the small/SMEM kernel is
+    # bit-identical. idx may differ only where two faces' t are within that
+    # rounding band (razor ties / overlapping random faces).
+    np.testing.assert_allclose(t_p, t_x, rtol=1e-4, atol=2e-5)
+    disagree = idx_p != idx_x
+    assert disagree.mean() <= 0.005, f"{disagree.sum()} idx mismatches"
+    if disagree.any():
+        # every disagreement must be a near-tie in distance
+        np.testing.assert_allclose(
+            t_p[disagree], t_x[disagree], rtol=1e-3, atol=1e-4
+        )
 
 
 def test_first_hit_matches_xla_random(rng):
@@ -246,10 +257,12 @@ def test_first_hit_matches_xla_large(n_faces, n_rays):
     dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
     t_p, idx_p = ray_first_hit_pallas(origins, dirs, tris, interpret=True)
     t_x, idx_x = _ray_mesh_first_hit_xla(origins, dirs, tris)
-    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), rtol=1e-5, atol=1e-6)
-    # Allow index disagreement only where two faces tie on t
+    # See _check: the big kernel's rearranged Moller-Trumbore agrees to f32
+    # rounding, not bitwise.
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), rtol=1e-4, atol=2e-5)
+    # Allow index disagreement only where two faces (nearly) tie on t
     same = np.asarray(idx_p) == np.asarray(idx_x)
-    assert same.mean() > 0.999, same.mean()
+    assert same.mean() > 0.995, same.mean()
 
 
 def test_occlusion_matches_xla_large():
