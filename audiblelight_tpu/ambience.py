@@ -142,8 +142,13 @@ class Ambience:
             # gaussian path); everything else keeps the float64 contract.
             if out.dtype != np.float32:
                 out = np.asarray(out, dtype=np.float64)
-            peak = np.max(np.abs(out), axis=1, keepdims=True) + utils.tiny(out)
-            out = out / peak
+            # max(max, -min) == max|x| exactly, without materialising |x|
+            # (the abs pass allocated a full bed-sized temporary per scene)
+            peak = np.maximum(
+                np.max(out, axis=1, keepdims=True),
+                -np.min(out, axis=1, keepdims=True),
+            ) + utils.tiny(out)
+            out /= peak
 
         self.audio = out
         return self.audio

@@ -1133,10 +1133,14 @@ class Scene:
                 generate_scene_audio_from_events(self)
 
             for mic_alias, mic_audio in self.audio.items():
+                # 16-bit PCM, the reference's output format (its sf.write
+                # call, reference core.py:1841, uses soundfile's WAV default
+                # subtype PCM_16) — and half the bytes of float32.
                 wav_write(
                     audio_path.with_suffix(".wav").with_stem(f"{audio_path.name}_{mic_alias}"),
                     mic_audio,
                     int(self.sample_rate),
+                    subtype="int16",
                 )
 
         if video:

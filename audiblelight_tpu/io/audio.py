@@ -138,13 +138,17 @@ def wav_write(
         audio = audio[None, :]
     interleaved = np.ascontiguousarray(audio.T)
 
+    # Each branch produces exactly ONE interleaved payload array and streams it
+    # with tofile() — the astype(...).tobytes() form made two extra full-size
+    # copies per call, which dominated per-scene host time on dataset runs.
     if subtype == "float32":
         fmt_tag, bits = _WAVE_FORMAT_IEEE_FLOAT, 32
-        payload = interleaved.astype("<f4").tobytes()
+        payload = np.asarray(interleaved, dtype="<f4")
     elif subtype == "int16":
         fmt_tag, bits = _WAVE_FORMAT_PCM, 16
         clipped = np.clip(interleaved, -1.0, 1.0)
-        payload = (clipped * 32767.0).astype("<i2").tobytes()
+        clipped *= 32767.0  # clip() copied; scale in place
+        payload = clipped.astype("<i2")
     elif subtype == "int24":
         fmt_tag, bits = _WAVE_FORMAT_PCM, 24
         clipped = np.clip(interleaved, -1.0, 1.0)
@@ -154,7 +158,7 @@ def wav_write(
         b[:, 0] = flat & 0xFF
         b[:, 1] = (flat >> 8) & 0xFF
         b[:, 2] = (flat >> 16) & 0xFF
-        payload = b.tobytes()
+        payload = b
     else:
         raise ValueError(f"Unsupported subtype: {subtype}")
 
@@ -163,7 +167,7 @@ def wav_write(
     block_align = channels * bits // 8
 
     with open(path, "wb") as f:
-        data_size = len(payload)
+        data_size = payload.nbytes
         f.write(b"RIFF")
         f.write(struct.pack("<I", 36 + data_size))
         f.write(b"WAVE")
@@ -171,7 +175,7 @@ def wav_write(
         f.write(struct.pack("<IHHIIHH", 16, fmt_tag, channels, sample_rate, byte_rate, block_align, bits))
         f.write(b"data")
         f.write(struct.pack("<I", data_size))
-        f.write(payload)
+        payload.tofile(f)  # streams without a tobytes() copy
         if data_size & 1:
             f.write(b"\x00")
 

@@ -226,6 +226,7 @@ class FusedSceneRenderer:
                 sh_order_indirect=int(cfg.indirect_sh_order),
                 diffraction=bool(cfg.diffraction),
                 accel_direct=accel_direct,
+                decimate=bool(getattr(cfg, "ray_decimation", False)),
             )  # (C, bucket, S)
             # Event->emitter gathers: -1 marks an empty slot (padded events /
             # trajectory tails), zeroed after a clamped gather.

@@ -318,7 +318,11 @@ def build_scene_plan(
             raise ValueError("trace=False requires a device-tracing backend")
         all_irs = None
         c_total = sum(int(m.n_channels) for m in scene.state.microphones.values())
-        ir_len = int(round(float(scene.state.cfg.max_ir_length) * sr))
+        # The IR banks of a trace=False plan are placeholders (the fused
+        # renderer traces in-program and ignores them); zero-LENGTH banks keep
+        # every shape dimension the bucketing logic reads while skipping the
+        # ~8 MB/scene of zeros the full-length banks shipped to the device.
+        ir_len = 0
     elif on_device:
         irs_dict = scene.state.trace_irs_device()
         all_irs = jnp.concatenate(list(irs_dict.values()), axis=0)
@@ -430,12 +434,21 @@ def build_scene_plan(
         moving_len[i] = n
         moving_place_len[i] = min(e["place_len"], s)
 
-    # Pre-scaled ambience bed
+    # Pre-scaled ambience bed. The scale multiply stays float32 end-to-end: a
+    # float64 scalar would upcast the whole (C, T) bed (a 60 s 4-channel scene
+    # is ~6M samples; the upcast+downcast measured ~190 ms/scene of pure copy
+    # on the production pipeline) for rounding noise ~1e-7 of a -65 dB floor.
     ambience = np.zeros((c_total, t), dtype=np.float32)
-    for amb in scene.ambience.values():
+    for i_amb, amb in enumerate(scene.ambience.values()):
         noise = amb.load_ambience(normalize=True)
-        scale = 10 ** (amb.ref_db / 20.0) / (np.mean(np.abs(noise)) + utils.tiny(noise))
-        ambience[: noise.shape[0]] += (scale * noise).astype(np.float32)
+        scale = np.float32(
+            10 ** (amb.ref_db / 20.0) / (np.mean(np.abs(noise)) + utils.tiny(noise))
+        )
+        part = ambience[: noise.shape[0]]
+        if i_amb == 0:
+            np.multiply(noise, scale, out=part, dtype=np.float32)
+        else:
+            part += noise.astype(np.float32) * scale
 
     if on_device and trace:
         static_irs = pack_irs_device(

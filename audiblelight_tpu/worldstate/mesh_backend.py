@@ -84,6 +84,13 @@ _ENGINE_FIELD_DEFAULTS = {
     # trace_energy_histogram's shared_visibility doc). False = exact
     # per-capsule queries, the reference rlr per-listener behaviour.
     "shared_visibility": True,
+    # TPU-specific: progressive wavefront decimation for deep traces — rays
+    # halve (with unbiased Russian-roulette energy reweighting) at depth/3 and
+    # 2*depth/3, cutting the bounce loop's first-hit cost ~40% for per-bin
+    # tail noise measured under 10% on a -40 dB region (see
+    # rir.raytracer.decimation_phases). False = trace every ray to full depth,
+    # the reference rlr behaviour.
+    "ray_decimation": True,
 }
 
 
@@ -826,6 +833,10 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 # batched through the full-mesh placement grid they cost ~2 ms
                 # where per-source dense dispatches cost ~220 ms.
                 accel_direct=self.grid_accel if not self.mesh.is_convex else None,
+                # Progressive wavefront decimation for deep traces (see
+                # rir.raytracer.decimation_phases): unbiased ray thinning at
+                # static bounce breakpoints
+                decimate=bool(self.cfg.ray_decimation),
             )
             out[alias] = irs[:, :n_src, :]  # drop bucketing dummies (on device)
         self._irs_device_cache = (cache_key, out)

@@ -128,7 +128,8 @@ def run_production(mesh, fg_root, out_dir: Path, n_scenes, seed0, simplify=True)
         counter["i"] += 1
         scene.audio = audio
         for alias, mix in audio.items():
-            wav_write(out_dir / f"scene{seed0}_{i}_{alias}.wav", mix, SR)
+            # 16-bit PCM — the reference's sf.write WAV default (PCM_16)
+            wav_write(out_dir / f"scene{seed0}_{i}_{alias}.wav", mix, SR, subtype="int16")
         for alias, df in generate_dcase2024_metadata(scene).items():
             df.to_csv(out_dir / f"scene{seed0}_{i}_{alias}.csv", header=None)
         with open(out_dir / f"scene{seed0}_{i}.json", "w") as f:

@@ -218,10 +218,13 @@ def write_outputs(scene, audio_path: Path, metadata_path: Path) -> None:
     from audiblelight_tpu.synthesize import generate_dcase2024_metadata
 
     for mic_alias, mic_audio in scene.audio.items():
+        # 16-bit PCM: the reference's sf.write WAV default (PCM_16), and the
+        # DCASE distribution format — also half the write bytes of float32.
         wav_write(
             audio_path.parent / f"{audio_path.name}_{mic_alias}.wav",
             mic_audio,
             int(scene.sample_rate),
+            subtype="int16",
         )
     with open(metadata_path.with_suffix(".json"), "w") as f:
         json.dump(scene.to_dict(), f, indent=4, ensure_ascii=False)

@@ -316,3 +316,90 @@ def test_transmission_config_plumbs_through_backend():
     e_on = float(np.sum(irs[True] ** 2))
     assert e_off == 0.0
     assert e_on > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Progressive wavefront decimation (rir.raytracer.decimation_phases)
+# ---------------------------------------------------------------------------
+
+
+def test_decimation_phases_schedule():
+    from audiblelight_tpu.rir.raytracer import decimation_phases
+
+    # Gated off: short or thin traces run one full-width phase
+    assert decimation_phases(4096, 12, True) == ((0, 12, 4096),)
+    assert decimation_phases(512, 60, True) == ((0, 60, 512),)
+    assert decimation_phases(4096, 60, False) == ((0, 60, 4096),)
+    # Active: thirds of the depth, halving ray width
+    assert decimation_phases(4096, 60, True) == (
+        (0, 20, 4096), (20, 40, 2048), (40, 60, 1024),
+    )
+    # Odd widths floor-divide
+    assert decimation_phases(5000, 61, True) == (
+        (0, 20, 5000), (20, 40, 2500), (40, 61, 1250),
+    )
+
+
+def test_decimation_gated_off_is_bitwise_identical():
+    """decimate=True below the gate thresholds must change NOTHING."""
+    from audiblelight_tpu.rir.raytracer import trace_energy_histogram_multi
+
+    tris, absorption, scatter = make_scene(alpha=0.3)
+    srcs = jnp.asarray([[2.0, 1.0, 1.2], [4.0, 3.0, 2.0]])
+    lis = jnp.asarray([[4.5, 3.0, 1.8]])
+    kwargs = dict(
+        n_sources=2, n_rays=1024, max_depth=20, n_bins=128, bin_dt=0.002,
+        occlusion=False,
+    )
+    h0 = trace_energy_histogram_multi(
+        jax.random.PRNGKey(7), tris, absorption, scatter, srcs, lis,
+        decimate=False, **kwargs,
+    )
+    h1 = trace_energy_histogram_multi(
+        jax.random.PRNGKey(7), tris, absorption, scatter, srcs, lis,
+        decimate=True, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+
+def test_decimation_is_unbiased():
+    """Decimated tracing must estimate the same energy histogram: matching
+    total energy, per-source energies, and decay rate (RT60) — the Russian-
+    roulette reweighting keeps the estimator unbiased, only the late-tail
+    Monte-Carlo variance grows."""
+    from audiblelight_tpu.rir.raytracer import trace_energy_histogram_multi
+
+    tris, absorption, scatter = make_scene(alpha=0.3)
+    srcs = jnp.asarray([[2.0, 1.0, 1.2], [4.0, 3.0, 2.0]])
+    lis = jnp.asarray([[4.5, 3.0, 1.8]])
+    kwargs = dict(
+        n_sources=2, n_rays=4096, max_depth=36, n_bins=256, bin_dt=0.002,
+        occlusion=False,
+    )
+    h_full = np.asarray(
+        trace_energy_histogram_multi(
+            jax.random.PRNGKey(3), tris, absorption, scatter, srcs, lis,
+            decimate=False, **kwargs,
+        )
+    )
+    h_dec = np.asarray(
+        trace_energy_histogram_multi(
+            jax.random.PRNGKey(3), tris, absorption, scatter, srcs, lis,
+            decimate=True, **kwargs,
+        )
+    )
+    assert h_dec.shape == h_full.shape
+    # Deposits from bounces before the first breakpoint are bitwise shared
+    # (same rays, same keys), so totals differ only by the thinned tail's
+    # Monte-Carlo realisation.
+    e_full = h_full.sum(axis=(1, 2, 3))
+    e_dec = h_dec.sum(axis=(1, 2, 3))
+    np.testing.assert_allclose(e_dec, e_full, rtol=0.05)
+
+    # Decay rate agreement on the energy-decay fit window
+    t = (np.arange(256) + 0.5) * 0.002
+    for e_f, e_d in zip(h_full.sum(axis=(1, 2)), h_dec.sum(axis=(1, 2))):
+        sel = (e_f > 0) & (e_d > 0) & (t > 0.02) & (t < 0.25)
+        s_f, _ = np.polyfit(t[sel], 10 * np.log10(e_f[sel]), 1)
+        s_d, _ = np.polyfit(t[sel], 10 * np.log10(e_d[sel]), 1)
+        assert abs(s_f - s_d) / abs(s_f) < 0.1
