@@ -123,7 +123,7 @@ class FusedSceneRenderer:
     high-latency host link the dispatch issue time alone caps throughput. Here
     everything runs as ONE jitted program whose per-scene quantities are
     *inputs*: the PRNG key, padded source positions, listener capsules, the
-    per-face rain-visibility table, event->emitter gather maps (so variable
+    event->emitter gather maps (so variable
     event counts and trajectory lengths within the bucket work), and the
     plan's audio/weight/level tensors. Scene geometry, materials, and the rlr
     config are captured as constants — every scene rendered through one
@@ -199,13 +199,30 @@ class FusedSceneRenderer:
 
         from audiblelight_tpu.render import render_event_stems_arrays
 
+        shared_vis = bool(cfg.shared_visibility)
+
         @jax.jit
-        def render(key, sources, listeners, face_occ, s_idx, m_idx,
+        def render(key, sources, listeners, s_idx, m_idx,
                    static_audio, static_mask, static_snr, static_len,
                    static_place_len, moving_audio, moving_w, moving_mask,
                    moving_snr, moving_len, moving_place_len, ref_db):
-            from audiblelight_tpu.rir.raytracer import trace_rirs_multi
+            from audiblelight_tpu.rir.raytracer import (
+                face_rain_occlusion,
+                trace_rirs_multi,
+            )
 
+            if occl:
+                # Per-face rain visibility computed IN-PROGRAM from the
+                # listener input: the standalone rain_occlusion_for dispatch
+                # cost a full device round trip per scene on remote links.
+                pts = (
+                    jnp.mean(listeners, axis=0, keepdims=True)
+                    if shared_vis
+                    else listeners
+                )
+                face_occ = face_rain_occlusion(atris, normals, pts)
+            else:
+                face_occ = None
             irs = trace_rirs_multi(
                 key, atris, absorption, scattering, sources, listeners,
                 n_samples=n_samples, sr=sr,
@@ -219,7 +236,7 @@ class FusedSceneRenderer:
                 face_transmission=face_tau,
                 transmission=bool(cfg.transmission),
                 shared_visibility=bool(cfg.shared_visibility),
-                face_occlusion=face_occ if occl else None,
+                face_occlusion=face_occ,
                 mesh_tiles=mesh_tiles,
                 tris_direct=full_tris if simplified else None,
                 sh_order_direct=int(cfg.direct_sh_order),
@@ -271,7 +288,7 @@ class FusedSceneRenderer:
         )
 
     def scene_inputs(self, scene):
-        """Per-scene tracer inputs: (key, padded sources, listeners, face_occ,
+        """Per-scene tracer inputs: (key, padded sources, listeners,
         s_idx, m_idx). Advances the worldstate PRNG key exactly like
         `trace_irs_device` so a fused render consumes the same key stream."""
         import jax
@@ -316,21 +333,16 @@ class FusedSceneRenderer:
                 si += 1
             counter += n_em
 
-        if self._occl:
-            pts = caps.mean(axis=0, keepdims=True) if self._shared_vis else caps
-            face_occ = ws.rain_occlusion_for(pts)
-        else:
-            face_occ = jnp.zeros((1, ws.acoustic_tris_device.shape[0]), bool)
-
         ws._key, sub = jax.random.split(ws._key)
-        return (
-            sub,
-            jnp.asarray(src, jnp.float32),
-            jnp.asarray(caps, jnp.float32),
-            face_occ,
-            jnp.asarray(s_idx),
-            jnp.asarray(m_idx),
+        # One batched upload: per-transfer RPC latency dominates on remote
+        # links, so the key and the four host arrays ship together (see
+        # build_scene_plan). Rain visibility is computed in-program from the
+        # listener input. The worldstate key lives on the CPU backend, so the
+        # split above costs no device round trip.
+        sub_d, src_d, caps_d, s_d, m_d = jax.device_put(
+            (np.asarray(sub), src.astype(np.float32), caps.astype(np.float32), s_idx, m_idx)
         )
+        return (sub_d, src_d, caps_d, s_d, m_d)
 
     def __call__(self, scene, plan: ScenePlan):
         """Render one scene: (int16 stems (E, C, S), float32 scales (E,)).

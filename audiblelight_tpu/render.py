@@ -463,23 +463,40 @@ def build_scene_plan(
 
         moving_irs = pack_irs_device(movings, em, (j, ir_len), pick_moving)
 
+    # ONE batched device_put for every device-resident tensor: through a
+    # remote-chip link each transfer is an RPC whose LATENCY (not bytes)
+    # dominates — 13 per-field jnp.asarray calls measured ~1.2 s/scene on the
+    # dev tunnel, batched ~1 RPC. Host-only fields stay numpy: the start
+    # offsets feed the host mix (pipeline.mix_plan_host), and the ambience bed
+    # is consumed by the final mix; device consumers (render_scene_plan,
+    # parallel.shard_render) take numpy jit inputs transparently.
+    (
+        static_audio, static_irs, static_mask, static_snr, static_len,
+        static_place_len, moving_audio, moving_irs, moving_w, moving_mask,
+        moving_snr, moving_len, moving_place_len, ref_db,
+    ) = jax.device_put((
+        static_audio, static_irs, static_mask, static_snr, static_len,
+        static_place_len, moving_audio, moving_irs, moving_w, moving_mask,
+        moving_snr, moving_len, moving_place_len,
+        np.float32(scene.ref_db),
+    ))
     return ScenePlan(
-        static_audio=jnp.asarray(static_audio),
-        static_irs=jnp.asarray(static_irs),
-        static_mask=jnp.asarray(static_mask),
-        static_snr=jnp.asarray(static_snr),
-        static_start=jnp.asarray(static_start),
-        static_len=jnp.asarray(static_len),
-        static_place_len=jnp.asarray(static_place_len),
-        moving_audio=jnp.asarray(moving_audio),
-        moving_irs=jnp.asarray(moving_irs),
-        moving_w=jnp.asarray(moving_w),
-        moving_mask=jnp.asarray(moving_mask),
-        moving_snr=jnp.asarray(moving_snr),
-        moving_start=jnp.asarray(moving_start),
-        moving_len=jnp.asarray(moving_len),
-        moving_place_len=jnp.asarray(moving_place_len),
+        static_audio=static_audio,
+        static_irs=static_irs,
+        static_mask=static_mask,
+        static_snr=static_snr,
+        static_start=static_start,
+        static_len=static_len,
+        static_place_len=static_place_len,
+        moving_audio=moving_audio,
+        moving_irs=moving_irs,
+        moving_w=moving_w,
+        moving_mask=moving_mask,
+        moving_snr=moving_snr,
+        moving_start=moving_start,
+        moving_len=moving_len,
+        moving_place_len=moving_place_len,
         ambience=ambience,
-        ref_db=jnp.asarray(float(scene.ref_db), dtype=jnp.float32),
+        ref_db=ref_db,
         n_scene_samples=t,
     )

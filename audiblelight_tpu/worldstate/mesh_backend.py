@@ -172,7 +172,13 @@ class WorldStateRLR(PlacementMixin, WorldState):
         self.add_to_state = add_to_context
         self.sample_rate = utils.sanitise_positive_number(sample_rate, cast_to=int)
         self.rng = np.random.default_rng(seed)
-        self._key = jax.random.PRNGKey(seed if seed is not None else utils.SEED)
+        # Key bookkeeping lives on the CPU backend: PRNGKey creation and the
+        # per-render splits are tiny ops, but on a remote accelerator each one
+        # is a full RPC round trip (dataset runs build one WorldState per
+        # scene). The subkey ships to the device together with the other
+        # per-scene inputs; threefry streams are identical on every backend.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self._key = jax.random.PRNGKey(seed if seed is not None else utils.SEED)
 
         self.empty_space_around_mic = utils.sanitise_positive_number(empty_space_around_mic)
         self.empty_space_around_surface = utils.sanitise_positive_number(
@@ -247,6 +253,15 @@ class WorldStateRLR(PlacementMixin, WorldState):
         bvh = getattr(self, "_native_bvh", None)
         if bvh is not None and bvh.n_tris == len(self.mesh.faces):
             return bvh
+        # Dataset runs build many WorldStates over ONE shared mesh object; the
+        # BVH is a pure function of the triangles, so cache it on the mesh
+        # (~60 ms/scene of rebuild avoided on a 110k-face room). Keyed by face
+        # count: mesh repair replaces the faces array.
+        fp = self._mesh_fingerprint()
+        cached = getattr(self.mesh, "_native_bvh_cache", None)
+        if cached is not None and cached[0] == fp:
+            self._native_bvh = cached[1]
+            return cached[1]
         try:
             from audiblelight_tpu.geometry.native import NativeBVH, native_available
 
@@ -254,6 +269,10 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 self._native_bvh_failed = True
                 return None
             self._native_bvh = NativeBVH(self.mesh.triangles.astype(np.float32))
+            try:
+                self.mesh._native_bvh_cache = (fp, self._native_bvh)
+            except AttributeError:  # pragma: no cover - exotic mesh types
+                pass
             return self._native_bvh
         except Exception:
             self._native_bvh_failed = True
