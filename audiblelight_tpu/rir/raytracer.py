@@ -149,7 +149,7 @@ def _lazy_jit(fn, **jit_kwargs):
 
 @partial(
     _lazy_jit,
-    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion", "transmission", "shared_visibility", "sh_order"),
+    static_argnames=("n_rays", "max_depth", "n_bins", "bin_dt", "c", "encoding", "face_chunk", "occlusion", "transmission", "shared_visibility", "sh_order", "decimate"),
 )
 def trace_energy_histogram(
     key: jax.Array,
@@ -175,6 +175,7 @@ def trace_energy_histogram(
     mesh_tiles=None,
     face_occlusion: jnp.ndarray = None,
     sh_order: int = 1,
+    decimate: bool = False,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -244,153 +245,163 @@ def trace_energy_histogram(
     keys = jax.random.split(key, max_depth)
     mxu_tables = _mxu_tables_for(tris, accel, mesh_tiles)
 
-    def bounce(carry, k_step):
-        origins, dirs, energy, dist, alive, prev_face, hist = carry
+    def make_bounce(r_src):
+        # Phase-width-parameterised bounce (see trace_energy_histogram_multi's
+        # make_bounce); the single-source tracer decimates identically.
+        def bounce(carry, k_step):
+            origins, dirs, energy, dist, alive, prev_face, hist = carry
 
-        if mesh_tiles is not None:
-            # Reachability-culled first hit (surface-origin wavefront regime)
-            t, face = tiled_first_hit(mesh_tiles, origins, dirs)
-        elif mxu_tables is not None:
-            from audiblelight_tpu.ops.mxu_first_hit import mxu_first_hit
+            if mesh_tiles is not None:
+                # Reachability-culled first hit (surface-origin wavefront regime)
+                t, face = tiled_first_hit(mesh_tiles, origins, dirs)
+            elif mxu_tables is not None:
+                from audiblelight_tpu.ops.mxu_first_hit import mxu_first_hit
 
-            t, face = mxu_first_hit(mxu_tables, origins, dirs, prev_face)
-        else:
-            t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
-        hit_ok = alive & jnp.isfinite(t)
-        t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
-        face_safe = jnp.maximum(face, 0)
-        hit = origins + t_safe[:, None] * dirs
-        new_dist = dist + t_safe
-
-        normal = tri_normals[face_safe]
-        # Flip normals to face the incoming ray
-        normal = jnp.where(
-            (jnp.sum(normal * dirs, axis=-1) > 0)[:, None], -normal, normal
-        )
-
-        alpha = face_absorption[face_safe]  # (R, B)
-        e_nonabs = energy * (1.0 - alpha)
-        if transmission:
-            tau = face_transmission[face_safe]  # (R, B)
-            e_refl = e_nonabs * (1.0 - tau)
-            e_trans = e_nonabs * tau
-        else:
-            e_refl = e_nonabs
-
-        # --- Diffuse rain toward every listener -------------------------------
-        # hit -> listener geometry: (C, R)
-        vec = listener_pos[:, None, :] - hit[None, :, :]
-        d_l = jnp.linalg.norm(vec, axis=-1)
-        dir_l = vec / jnp.maximum(d_l[..., None], 1e-9)
-        cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
-
-        # Visibility: offset start off the surface to dodge self-intersection
-        if occlusion and face_occlusion is not None:
-            # Precomputed per-face rain visibility: one gather per bounce
-            occ = jnp.broadcast_to(face_occlusion[:, face_safe], (cl, n_rays))
-        elif occlusion and star is not None and shared_visibility:
-            # Azimuth-culled star kernel against the array centroid
-            occ1 = star_segments_occluded(star, hit + 1e-4 * normal, jnp.mean(listener_pos, axis=0))
-            occ = jnp.broadcast_to(occ1[None], (cl, n_rays))
-        elif occlusion and star is not None:
-            # Exact per-capsule star queries (capsules lie within star.r_pad)
-            occ = jnp.stack([
-                star_segments_occluded(star, hit + 1e-4 * normal, listener_pos[i])
-                for i in range(cl)
-            ])
-        elif occlusion and shared_visibility and cl > 1:
-            center = jnp.mean(listener_pos, axis=0)
-            occ1 = segments_occluded(
-                hit + 1e-4 * normal,
-                jnp.broadcast_to(center, (n_rays, 3)),
-                tris, face_chunk, accel=accel,
-            )
-            occ = jnp.broadcast_to(occ1[None], (cl, n_rays))
-        elif occlusion:
-            starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, n_rays, 3)).reshape(-1, 3)
-            ends = jnp.repeat(listener_pos, n_rays, axis=0)
-            occ = segments_occluded(starts, ends, tris, face_chunk, accel=accel).reshape(cl, n_rays)
-        else:
-            # Convex enclosure: interior segments are never blocked
-            # (geometry.mesh.TriMesh.is_convex), so the query is skipped exactly.
-            occ = jnp.zeros((cl, n_rays), dtype=bool)
-
-        visible = hit_ok[None] & (~occ) & (cos_th > 0)
-        # pressure^2-unit deposit: E*(1-a)*cos(theta) / (4 pi^2 d^2)
-        deposit = (
-            e_refl[None]  # (1, R, B) -> broadcast C
-            * (cos_th / (4.0 * jnp.pi**2 * jnp.maximum(d_l, 1e-2) ** 2))[..., None]
-            * visible[..., None]
-        )  # (C, R, B)
-
-        arrival = (new_dist[None] + d_l) / c  # (C, R) seconds
-        bin_idx = jnp.clip((arrival / bin_dt).astype(jnp.int32), 0, n_bins - 1)
-        in_range = arrival < (n_bins * bin_dt)
-        deposit = deposit * in_range[..., None]
-
-        if encoding == "omni":
-            # hist: (C, B, n_bins). bin_histogram folds each listener's deposits
-            # with an in-VMEM one-hot matmul on TPU (scatter-add elsewhere).
-            add = bin_histogram(bin_idx, deposit, n_bins)  # (C, n_bins, B)
-            hist = hist + jnp.moveaxis(add, 1, 2)
-        else:
-            # Single listener; accumulate channel-weighted deposits
-            if encoding == "binaural":
-                gains = binaural_encoding_gains(dir_l[0])  # (R, 2)
+                t, face = mxu_first_hit(mxu_tables, origins, dirs, prev_face)
             else:
-                # foa / sh{N}: ambisonic gains at the tail's encode order
-                gains = _ambi_gains(dir_l[0], sh_order, encoding)  # (R, C_out)
-            weighted = deposit[0][:, None, :] * gains[:, :, None]  # (R, C_out, B)
-            add = bin_histogram(
-                bin_idx[0:1], weighted.reshape(1, n_rays, -1), n_bins
-            )  # (1, n_bins, C_out*B)
-            hist = hist + jnp.moveaxis(
-                add.reshape(n_bins, hist.shape[0], n_bands), 0, -1
+                t, face = ray_mesh_first_hit(origins, dirs, tris, face_chunk, accel=accel)
+            hit_ok = alive & jnp.isfinite(t)
+            t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+            face_safe = jnp.maximum(face, 0)
+            hit = origins + t_safe[:, None] * dirs
+            new_dist = dist + t_safe
+
+            normal = tri_normals[face_safe]
+            # Flip normals to face the incoming ray
+            normal = jnp.where(
+                (jnp.sum(normal * dirs, axis=-1) > 0)[:, None], -normal, normal
             )
 
-        # --- Reflect ----------------------------------------------------------
-        if transmission:
-            k_spec, k_diff, k_trans = jax.random.split(k_step, 3)
-        else:
-            k_spec, k_diff = jax.random.split(k_step)
-        spec_dir = dirs - 2.0 * jnp.sum(dirs * normal, axis=-1, keepdims=True) * normal
-        diff_dir = _cosine_hemisphere(k_diff, normal)
-        s = face_scattering[face_safe]
-        go_diffuse = jax.random.uniform(k_spec, (n_rays,)) < s
-        new_dirs = jnp.where(go_diffuse[:, None], diff_dir, spec_dir)
-        new_origins = hit + 1e-4 * normal
-        new_energy = e_refl
+            alpha = face_absorption[face_safe]  # (R, B)
+            e_nonabs = energy * (1.0 - alpha)
+            if transmission:
+                tau = face_transmission[face_safe]  # (R, B)
+                e_refl = e_nonabs * (1.0 - tau)
+                e_trans = e_nonabs * tau
+            else:
+                e_refl = e_nonabs
 
-        if transmission:
-            # Russian roulette between reflect and transmit, branch probability
-            # proportional to band-mean branch energy; the chosen branch carries
-            # its energy divided by its probability (unbiased estimator).
-            w_r = jnp.mean(e_refl, axis=-1)
-            w_t = jnp.mean(e_trans, axis=-1)
-            p_t = w_t / jnp.maximum(w_r + w_t, 1e-30)
-            go_trans = jax.random.uniform(k_trans, (n_rays,)) < p_t
-            e_branch_t = e_trans / jnp.maximum(p_t, 1e-12)[:, None]
-            e_branch_r = e_refl / jnp.maximum(1.0 - p_t, 1e-12)[:, None]
-            new_energy = jnp.where(go_trans[:, None], e_branch_t, e_branch_r)
-            # Transmitted rays keep their direction and restart just past the face
-            new_dirs = jnp.where(go_trans[:, None], dirs, new_dirs)
-            new_origins = hit + jnp.where(go_trans[:, None], -1e-4, 1e-4) * normal
+            # --- Diffuse rain toward every listener -------------------------------
+            # hit -> listener geometry: (C, R)
+            vec = listener_pos[:, None, :] - hit[None, :, :]
+            d_l = jnp.linalg.norm(vec, axis=-1)
+            dir_l = vec / jnp.maximum(d_l[..., None], 1e-9)
+            cos_th = jnp.maximum(jnp.sum(dir_l * normal[None], axis=-1), 0.0)
 
-        # Kill rays that escaped, ran out of energy, or travelled past the window
-        new_alive = (
-            hit_ok
-            & (jnp.max(new_energy, axis=-1) * n_rays > 1e-6)
-            & (new_dist < c * n_bins * bin_dt)
-        )
+            # Visibility: offset start off the surface to dodge self-intersection
+            if occlusion and face_occlusion is not None:
+                # Precomputed per-face rain visibility: one gather per bounce
+                occ = jnp.broadcast_to(face_occlusion[:, face_safe], (cl, r_src))
+            elif occlusion and star is not None and shared_visibility:
+                # Azimuth-culled star kernel against the array centroid
+                occ1 = star_segments_occluded(star, hit + 1e-4 * normal, jnp.mean(listener_pos, axis=0))
+                occ = jnp.broadcast_to(occ1[None], (cl, r_src))
+            elif occlusion and star is not None:
+                # Exact per-capsule star queries (capsules lie within star.r_pad)
+                occ = jnp.stack([
+                    star_segments_occluded(star, hit + 1e-4 * normal, listener_pos[i])
+                    for i in range(cl)
+                ])
+            elif occlusion and shared_visibility and cl > 1:
+                center = jnp.mean(listener_pos, axis=0)
+                occ1 = segments_occluded(
+                    hit + 1e-4 * normal,
+                    jnp.broadcast_to(center, (r_src, 3)),
+                    tris, face_chunk, accel=accel,
+                )
+                occ = jnp.broadcast_to(occ1[None], (cl, r_src))
+            elif occlusion:
+                starts = jnp.broadcast_to(hit + 1e-4 * normal, (cl, r_src, 3)).reshape(-1, 3)
+                ends = jnp.repeat(listener_pos, r_src, axis=0)
+                occ = segments_occluded(starts, ends, tris, face_chunk, accel=accel).reshape(cl, r_src)
+            else:
+                # Convex enclosure: interior segments are never blocked
+                # (geometry.mesh.TriMesh.is_convex), so the query is skipped exactly.
+                occ = jnp.zeros((cl, r_src), dtype=bool)
 
-        # Next bounce excludes the face just hit (MXU kernel self-mask);
-        # -1 where the ray missed.
-        new_prev = jnp.where(hit_ok, face, -1)
-        return (new_origins, new_dirs, new_energy, new_dist, new_alive, new_prev, hist), None
+            visible = hit_ok[None] & (~occ) & (cos_th > 0)
+            # pressure^2-unit deposit: E*(1-a)*cos(theta) / (4 pi^2 d^2)
+            deposit = (
+                e_refl[None]  # (1, R, B) -> broadcast C
+                * (cos_th / (4.0 * jnp.pi**2 * jnp.maximum(d_l, 1e-2) ** 2))[..., None]
+                * visible[..., None]
+            )  # (C, R, B)
+
+            arrival = (new_dist[None] + d_l) / c  # (C, R) seconds
+            bin_idx = jnp.clip((arrival / bin_dt).astype(jnp.int32), 0, n_bins - 1)
+            in_range = arrival < (n_bins * bin_dt)
+            deposit = deposit * in_range[..., None]
+
+            if encoding == "omni":
+                # hist: (C, B, n_bins). bin_histogram folds each listener's deposits
+                # with an in-VMEM one-hot matmul on TPU (scatter-add elsewhere).
+                add = bin_histogram(bin_idx, deposit, n_bins)  # (C, n_bins, B)
+                hist = hist + jnp.moveaxis(add, 1, 2)
+            else:
+                # Single listener; accumulate channel-weighted deposits
+                if encoding == "binaural":
+                    gains = binaural_encoding_gains(dir_l[0])  # (R, 2)
+                else:
+                    # foa / sh{N}: ambisonic gains at the tail's encode order
+                    gains = _ambi_gains(dir_l[0], sh_order, encoding)  # (R, C_out)
+                weighted = deposit[0][:, None, :] * gains[:, :, None]  # (R, C_out, B)
+                add = bin_histogram(
+                    bin_idx[0:1], weighted.reshape(1, r_src, -1), n_bins
+                )  # (1, n_bins, C_out*B)
+                hist = hist + jnp.moveaxis(
+                    add.reshape(n_bins, hist.shape[0], n_bands), 0, -1
+                )
+
+            # --- Reflect ----------------------------------------------------------
+            if transmission:
+                k_spec, k_diff, k_trans = jax.random.split(k_step, 3)
+            else:
+                k_spec, k_diff = jax.random.split(k_step)
+            spec_dir = dirs - 2.0 * jnp.sum(dirs * normal, axis=-1, keepdims=True) * normal
+            diff_dir = _cosine_hemisphere(k_diff, normal)
+            s = face_scattering[face_safe]
+            go_diffuse = jax.random.uniform(k_spec, (r_src,)) < s
+            new_dirs = jnp.where(go_diffuse[:, None], diff_dir, spec_dir)
+            new_origins = hit + 1e-4 * normal
+            new_energy = e_refl
+
+            if transmission:
+                # Russian roulette between reflect and transmit, branch probability
+                # proportional to band-mean branch energy; the chosen branch carries
+                # its energy divided by its probability (unbiased estimator).
+                w_r = jnp.mean(e_refl, axis=-1)
+                w_t = jnp.mean(e_trans, axis=-1)
+                p_t = w_t / jnp.maximum(w_r + w_t, 1e-30)
+                go_trans = jax.random.uniform(k_trans, (r_src,)) < p_t
+                e_branch_t = e_trans / jnp.maximum(p_t, 1e-12)[:, None]
+                e_branch_r = e_refl / jnp.maximum(1.0 - p_t, 1e-12)[:, None]
+                new_energy = jnp.where(go_trans[:, None], e_branch_t, e_branch_r)
+                # Transmitted rays keep their direction and restart just past the face
+                new_dirs = jnp.where(go_trans[:, None], dirs, new_dirs)
+                new_origins = hit + jnp.where(go_trans[:, None], -1e-4, 1e-4) * normal
+
+            # Kill rays that escaped, ran out of energy, or travelled past the window
+            new_alive = (
+                hit_ok
+                & (jnp.max(new_energy, axis=-1) * n_rays > 1e-6)
+                & (new_dist < c * n_bins * bin_dt)
+            )
+
+            # Next bounce excludes the face just hit (MXU kernel self-mask);
+            # -1 where the ray missed.
+            new_prev = jnp.where(hit_ok, face, -1)
+            return (new_origins, new_dirs, new_energy, new_dist, new_alive, new_prev, hist), None
+
+        return bounce
 
     prev0 = jnp.full(origins0.shape[:1], -1, jnp.int32)
-    hist = _bounce_until_dead(bounce, (origins0, dirs0, energy0, dist0, alive0, prev0, hist0), keys, max_depth)
-    return hist
+    carry = (origins0, dirs0, energy0, dist0, alive0, prev0, hist0)
+    phases = decimation_phases(n_rays, max_depth, decimate)
+    for pi, (start, end, r_src_phase) in enumerate(phases):
+        if pi > 0:
+            carry = _halve_wavefront(carry, 1, phases[pi - 1][2], r_src_phase)
+        carry = _bounce_segment(make_bounce(r_src_phase), carry, keys, start, end)
+    return carry[-1]
 
 
 def _bounce_until_dead(bounce, init, keys, max_depth):
@@ -892,6 +903,7 @@ def trace_rirs(
     tris_direct: jnp.ndarray = None,
     sh_order_direct: int = 3,
     sh_order_indirect: int = 1,
+    decimate: bool = False,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
 
@@ -927,6 +939,7 @@ def trace_rirs(
         mesh_tiles=mesh_tiles,
         face_occlusion=face_occlusion,
         sh_order=sh_order_indirect,
+        decimate=decimate,
     )
     band_freqs = jnp.asarray(
         np.geomspace(125.0, 8000.0, face_absorption.shape[1])

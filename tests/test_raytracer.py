@@ -403,3 +403,28 @@ def test_decimation_is_unbiased():
         s_f, _ = np.polyfit(t[sel], 10 * np.log10(e_f[sel]), 1)
         s_d, _ = np.polyfit(t[sel], 10 * np.log10(e_d[sel]), 1)
         assert abs(s_f - s_d) / abs(s_f) < 0.1
+
+
+def test_decimation_single_source_unbiased():
+    """Single-source tracer: decimation keeps total energy and is gated off
+    (bitwise) below thresholds, matching the multi-source behaviour."""
+    tris, absorption, scatter = make_scene(alpha=0.3)
+    src = jnp.asarray([2.0, 1.0, 1.2])
+    lis = jnp.asarray([[4.5, 3.0, 1.8]])
+    kwargs = dict(n_rays=4096, max_depth=36, n_bins=256, bin_dt=0.002, occlusion=False)
+    h0 = np.asarray(trace_energy_histogram(
+        jax.random.PRNGKey(5), tris, absorption, scatter, src, lis,
+        decimate=False, **kwargs))
+    h1 = np.asarray(trace_energy_histogram(
+        jax.random.PRNGKey(5), tris, absorption, scatter, src, lis,
+        decimate=True, **kwargs))
+    np.testing.assert_allclose(h1.sum(), h0.sum(), rtol=0.05)
+    # Below the gate: identical
+    small = dict(n_rays=1024, max_depth=20, n_bins=128, bin_dt=0.002, occlusion=False)
+    a = np.asarray(trace_energy_histogram(
+        jax.random.PRNGKey(6), tris, absorption, scatter, src, lis,
+        decimate=False, **small))
+    b = np.asarray(trace_energy_histogram(
+        jax.random.PRNGKey(6), tris, absorption, scatter, src, lis,
+        decimate=True, **small))
+    np.testing.assert_array_equal(a, b)
