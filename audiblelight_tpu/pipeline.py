@@ -201,7 +201,6 @@ class FusedSceneRenderer:
 
         shared_vis = bool(cfg.shared_visibility)
 
-        @jax.jit
         def render(key, sources, listeners, s_idx, m_idx,
                    static_audio, static_mask, static_snr, static_len,
                    static_place_len, moving_audio, moving_w, moving_mask,
@@ -263,7 +262,8 @@ class FusedSceneRenderer:
             )
             return quantize_stems(stems)
 
-        self._render = render
+        self._body = render  # unjitted whole-scene program (shard_map/vmap composable)
+        self._render = jax.jit(render)
 
     def compatible(self, scene, plan: ScenePlan) -> bool:
         """Can `scene` render through this compiled program? Same mesh object
@@ -344,19 +344,72 @@ class FusedSceneRenderer:
         )
         return (sub_d, src_d, caps_d, s_d, m_d)
 
-    def __call__(self, scene, plan: ScenePlan):
-        """Render one scene: (int16 stems (E, C, S), float32 scales (E,)).
-        The plan may be built with `build_scene_plan(..., trace=False)` —
-        its IR banks are ignored; the fused program traces."""
-        args = self.scene_inputs(scene)
-        return self._render(
-            *args,
+    @staticmethod
+    def plan_args(plan: ScenePlan) -> tuple:
+        """The fused program's plan-derived positional inputs."""
+        return (
             plan.static_audio, plan.static_mask, plan.static_snr,
             plan.static_len, plan.static_place_len,
             plan.moving_audio, plan.moving_w, plan.moving_mask,
             plan.moving_snr, plan.moving_len, plan.moving_place_len,
             plan.ref_db,
         )
+
+    def __call__(self, scene, plan: ScenePlan):
+        """Render one scene: (int16 stems (E, C, S), float32 scales (E,)).
+        The plan may be built with `build_scene_plan(..., trace=False)` —
+        its IR banks are ignored; the fused program traces."""
+        args = self.scene_inputs(scene)
+        return self._render(*args, *self.plan_args(plan))
+
+    def render_batch_sharded(self, inputs, plans, mesh, axis: str = "scene"):
+        """Render B scenes' fused programs with the batch SHARDED over a
+        device mesh — the multi-chip dataset-generation path.
+
+        Each chip runs the complete per-scene program (trace -> gather ->
+        stems -> int16) on its local slice of the batch: scenes are the
+        data-parallel axis, geometry/materials replicate as compiled
+        constants, and no collectives are needed on the hot path (the exact
+        regime jax.sharding is free at). `inputs` are per-scene tuples from
+        `scene_inputs` (captured BEFORE the call so the PRNG walk matches the
+        single-scene path), `plans` the matching trace=False plans; every plan
+        must share this renderer's bucket shapes.
+
+        Returns (q (B, E, C, S) int16, scales (B, E) float32), sharded over
+        `axis`. B must divide by the mesh's `axis` size.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        b = len(inputs)
+        if b != len(plans):
+            raise ValueError("one plan per scene required")
+        n_dev = mesh.shape[axis]
+        if b % n_dev != 0:
+            raise ValueError(f"batch size {b} must divide by mesh '{axis}' size {n_dev}")
+
+        leaves = [tuple(i) + self.plan_args(p) for i, p in zip(inputs, plans)]
+        stacked = tuple(
+            jnp.stack([jnp.asarray(l[k]) for l in leaves])
+            for k in range(len(leaves[0]))
+        )
+
+        cache = getattr(self, "_sharded_programs", None)
+        if cache is None:
+            cache = self._sharded_programs = {}
+        fn = cache.get((id(mesh), axis))
+        if fn is None:
+            fn = cache[(id(mesh), axis)] = jax.jit(
+                jax.shard_map(
+                    jax.vmap(self._body),
+                    mesh=mesh,
+                    in_specs=P(axis),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+        return fn(*stacked)
 
 
 def render_scenes_pipelined(
