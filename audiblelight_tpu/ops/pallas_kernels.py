@@ -736,6 +736,155 @@ def deposit_histogram_pallas(
     return jnp.transpose(out, (1, 0, 3, 2))
 
 
+def _deposit_histogram_foa_kernel(
+    n_bins_pad,
+    bin_dt,
+    c_sound,
+    hit_ref,  # (1, 3, R_pad) block: hit x/y/z rows for one source
+    nrm_ref,  # (1, 3, R_pad)
+    erefl_ref,  # (1, B, R_pad)
+    dist_ref,  # (1, 1, R_pad)
+    occ_ref,  # (1, 1, R_pad) int32 (1 = blocked)
+    lis_ref,  # (1, 3) SMEM listener position
+    out_ref,  # (1, n_bins_pad, 4*B) block for one source
+):
+    """Fused diffuse-rain deposit + FOA (AmbiX order-1) encode + histogram.
+
+    The FOA production path's XLA formulation materialises the (TR, B)
+    deposits, the (TR, 4) SH gains and the (TR, 4, B) weighted deposits in HBM
+    every bounce; here the whole chain — geometry, visibility, binning,
+    first-order encode [W, X, Y, Z] = [1, ux, uy, uz] (the same arrival vector
+    rir.sh.foa_encoding_gains receives), and the one-hot MXU fold — runs in
+    VMEM. Output columns are channel-major: out[bin, c*B + band].
+    """
+    r_pad = hit_ref.shape[2]
+    n_chunks = r_pad // HIST_RAY_BLOCK
+    n_bands = erefl_ref.shape[1]
+
+    lx = lis_ref[0, 0]
+    ly = lis_ref[0, 1]
+    lz = lis_ref[0, 2]
+
+    def chunk(i, acc):
+        sl = pl.ds(i * HIST_RAY_BLOCK, HIST_RAY_BLOCK)
+        hx = hit_ref[0, 0:1, sl]
+        hy = hit_ref[0, 1:2, sl]
+        hz = hit_ref[0, 2:3, sl]
+        nx = nrm_ref[0, 0:1, sl]
+        ny = nrm_ref[0, 1:2, sl]
+        nz = nrm_ref[0, 2:3, sl]
+
+        vx = lx - hx
+        vy = ly - hy
+        vz = lz - hz
+        d2 = vx * vx + vy * vy + vz * vz
+        d = jnp.sqrt(d2)
+        inv_d = 1.0 / jnp.maximum(d, 1e-9)
+        cos_th = jnp.maximum((vx * nx + vy * ny + vz * nz) * inv_d, 0.0)
+
+        arrival = (dist_ref[0, 0:1, sl] + d) / c_sound
+        bins = (arrival * (1.0 / bin_dt)).astype(jnp.int32)
+        in_range = arrival < (n_bins_pad * bin_dt)
+        visible = (occ_ref[0, 0:1, sl] == 0) & (cos_th > 0.0) & in_range
+
+        geom = jnp.where(
+            visible, cos_th / (4.0 * jnp.pi**2 * jnp.maximum(d, 1e-2) ** 2), 0.0
+        )  # (1, chunk)
+        dep = erefl_ref[0, :, sl] * geom  # (B, chunk)
+        # AmbiX WXYZ gains for the arrival vector (listener - hit)/d —
+        # identical to the XLA path's _ambi_gains(dir_l) at order 1
+        ux = vx * inv_d
+        uy = vy * inv_d
+        uz = vz * inv_d
+        w = jnp.concatenate(
+            [dep, dep * ux, dep * uy, dep * uz], axis=0
+        )  # (4B, chunk), channel-major rows
+
+        bins = jnp.clip(bins, 0, n_bins_pad - 1)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_bins_pad, HIST_RAY_BLOCK), 0) == bins
+        ).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            oh, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    init = jnp.zeros((n_bins_pad, 4 * n_bands), dtype=jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+
+@partial(jax.jit, static_argnames=("n_sources", "n_bins", "bin_dt", "c_sound", "interpret"))
+def deposit_histogram_foa_pallas(
+    hit: jnp.ndarray,  # (TR, 3) hit positions (source-major)
+    normal: jnp.ndarray,  # (TR, 3)
+    e_refl: jnp.ndarray,  # (TR, B)
+    dist: jnp.ndarray,  # (TR,)
+    occ: jnp.ndarray,  # (1, TR) bool, True = blocked
+    listener_pos: jnp.ndarray,  # (1, 3)
+    n_sources: int,
+    n_bins: int,
+    bin_dt: float,
+    c_sound: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused deposit + AmbiX first-order encode + grouped histogram.
+
+    Returns (n_sources, 4, B, n_bins) — the FOA analog of
+    deposit_histogram_pallas for a single-listener ambisonic rig.
+    """
+    tr = hit.shape[0]
+    n_bands = e_refl.shape[1]
+    r = tr // n_sources
+    r_pad = max(HIST_RAY_BLOCK, ((r + HIST_RAY_BLOCK - 1) // HIST_RAY_BLOCK) * HIST_RAY_BLOCK)
+    bins_pad = max(LANES, ((n_bins + LANES - 1) // LANES) * LANES)
+
+    def per_source(x):
+        x = x.reshape(n_sources, r, -1)
+        x = jnp.pad(x, ((0, 0), (0, r_pad - r), (0, 0)))
+        return jnp.moveaxis(x, 1, 2)
+
+    hit_t = per_source(hit)
+    nrm_t = per_source(normal)
+    erefl_t = per_source(e_refl)
+    dist_t = per_source(dist[:, None])
+    occ_t = jnp.moveaxis(
+        jnp.pad(
+            occ.astype(jnp.int32).reshape(1, n_sources, r),
+            ((0, 0), (0, 0), (0, r_pad - r)),
+            constant_values=1,  # padded rays: invisible -> zero deposit
+        ),
+        0,
+        0,
+    ).reshape(n_sources, 1, r_pad)
+
+    grid = (n_sources,)
+    src_spec = lambda k: pl.BlockSpec(
+        (1, k, r_pad), lambda e: (e, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, bins_pad, 4 * n_bands), lambda e: (e, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        partial(_deposit_histogram_foa_kernel, bins_pad, float(bin_dt), float(c_sound)),
+        grid=grid,
+        in_specs=[
+            src_spec(3), src_spec(3), src_spec(n_bands), src_spec(1), src_spec(1),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_sources, bins_pad, 4 * n_bands), jnp.float32),
+        interpret=interpret,
+    )(
+        hit_t, nrm_t, erefl_t, dist_t, occ_t,
+        listener_pos.astype(jnp.float32),
+    )
+    # (E, bins_pad, 4B) channel-major columns -> (E, 4, B, n_bins)
+    out = out[:, :n_bins, :].reshape(n_sources, n_bins, 4, n_bands)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 def bin_histogram(bins: jnp.ndarray, dep: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     """Grouped histogram with automatic backend dispatch (see bin_histogram_pallas).
 

@@ -35,7 +35,12 @@ from audiblelight_tpu import config
 from audiblelight_tpu.geometry.queries import ray_mesh_first_hit, segments_occluded
 from audiblelight_tpu.ops.star_occlusion import star_segments_occluded
 from audiblelight_tpu.ops.tiled_first_hit import tiled_first_hit
-from audiblelight_tpu.ops.pallas_kernels import bin_histogram, deposit_histogram_pallas, pallas_supported
+from audiblelight_tpu.ops.pallas_kernels import (
+    bin_histogram,
+    deposit_histogram_foa_pallas,
+    deposit_histogram_pallas,
+    pallas_supported,
+)
 from audiblelight_tpu.rir.sh import (
     ambisonic_encoding_gains as _ambi_gains,
     binaural_encoding_gains,
@@ -1112,6 +1117,17 @@ def trace_energy_histogram_multi(
                 )
                 # Reflection below still needs nothing from the deposit chain.
                 dir_l = None
+            elif encoding == "foa" and cl == 1 and sh_order == 1 and _use_fused_deposit():
+                # FOA production path: deposit + AmbiX order-1 encode +
+                # histogram fold fused in one Pallas kernel (the XLA chain
+                # materialised (TR, B) deposits, (TR, 4) gains and (TR, 4, B)
+                # weighted deposits in HBM every bounce).
+                hist = hist + deposit_histogram_foa_pallas(
+                    hit, normal, e_refl, new_dist,
+                    occ | ~hit_ok[None], listener_pos,
+                    n_sources=n_sources, n_bins=n_bins, bin_dt=bin_dt, c_sound=c,
+                )
+                dir_l = None
             else:
                 # Diffuse rain toward every listener: (C, TR)
                 vec = listener_pos[:, None, :] - hit[None, :, :]
@@ -1131,8 +1147,8 @@ def trace_energy_histogram_multi(
                 in_range = arrival < (n_bins * bin_dt)
                 deposit = deposit * in_range[..., None]
 
-            if encoding == "omni" and dir_l is None:
-                pass  # histogram already accumulated by the fused kernel
+            if dir_l is None:
+                pass  # histogram already accumulated by a fused kernel
             elif encoding == "omni":
                 # Group rays as (capsule, source): one histogram fold per group.
                 add = bin_histogram(

@@ -292,3 +292,43 @@ def test_bin_histogram_matches_scatter_large():
             if b >= 0:
                 oracle[gi, b] += dep[gi, ri]
     np.testing.assert_allclose(out_p, oracle, rtol=1e-5, atol=1e-7)
+
+
+def test_deposit_histogram_foa_fused_oracle(rng):
+    """The FOA fused kernel matches a numpy replica of the XLA deposit chain
+    with AmbiX order-1 gains [W, X, Y, Z] = [1, ux, uy, uz] of the arrival
+    vector (listener - hit)/d — the tracer's production encoding."""
+    from audiblelight_tpu.ops.pallas_kernels import deposit_histogram_foa_pallas
+
+    E, R, B, BINS = 3, 200, 4, 51
+    BIN_DT, CS = 0.002, 343.0
+    TR = E * R
+    hit = rng.uniform(0, 5, (TR, 3)).astype(np.float32)
+    normal = rng.standard_normal((TR, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    e_refl = (rng.random((TR, B)) * 1e-3).astype(np.float32)
+    dist = (rng.random(TR) * 20).astype(np.float32)
+    occ = rng.random((1, TR)) < 0.3
+    lis = rng.uniform(1, 4, (1, 3)).astype(np.float32)
+
+    oracle = np.zeros((E, 4, B, BINS), np.float32)
+    for t in range(TR):
+        v = lis[0] - hit[t]
+        d = np.linalg.norm(v)
+        cos = max(float(v @ normal[t]) / max(d, 1e-9), 0.0)
+        if occ[0, t] or cos <= 0:
+            continue
+        arrival = (dist[t] + d) / CS
+        if arrival >= BINS * BIN_DT:
+            continue
+        b = min(int(arrival / BIN_DT), BINS - 1)
+        dep = e_refl[t] * cos / (4 * np.pi**2 * max(d, 1e-2) ** 2)
+        u = v / max(d, 1e-9)
+        for c, g in enumerate([1.0, u[0], u[1], u[2]]):
+            oracle[t // R, c, :, b] += dep * g
+
+    got = np.asarray(deposit_histogram_foa_pallas(
+        jnp.asarray(hit), jnp.asarray(normal), jnp.asarray(e_refl), jnp.asarray(dist),
+        jnp.asarray(occ), jnp.asarray(lis),
+        n_sources=E, n_bins=BINS, bin_dt=BIN_DT, c_sound=CS, interpret=True))
+    np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-10)
