@@ -1,7 +1,8 @@
 """The production render pipeline: Scene -> compiled device stems -> host mix.
 
 ONE code path, used by `Scene.generate(compiled=True)`, the dataset scripts
-(scripts/seld, scripts/ssseg) and bench.py — mirroring the reference's single
+(scripts/seld; scripts/ssseg keeps the classic per-event path because its
+dry-stem outputs are event-level artifacts) and bench.py — mirroring the reference's single
 render path (reference synthesize.py:613-677) while keeping every FLOP on
 device:
 
