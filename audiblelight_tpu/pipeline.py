@@ -363,6 +363,35 @@ class FusedSceneRenderer:
         args = self.scene_inputs(scene)
         return self._render(*args, *self.plan_args(plan))
 
+    def render_batch(self, inputs, plans):
+        """Render B scenes in ONE single-device dispatch (vmapped fused body).
+
+        Micro-batching amortises the per-dispatch link cost — on remote-chip
+        hosts each dispatch/upload/download is an RPC whose latency, not
+        bytes, dominates, so K scenes per program cut the per-scene link
+        overhead K-fold. Device compute is the same work vmap-batched.
+
+        Returns (q (B, E, C, S) int16, scales (B, E) float32). One program
+        compiles per batch size B.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if len(inputs) != len(plans):
+            raise ValueError("one plan per scene required")
+        leaves = [tuple(i) + self.plan_args(p) for i, p in zip(inputs, plans)]
+        stacked = tuple(
+            jnp.stack([jnp.asarray(l[k]) for l in leaves])
+            for k in range(len(leaves[0]))
+        )
+        cache = getattr(self, "_batch_programs", None)
+        if cache is None:
+            cache = self._batch_programs = {}
+        fn = cache.get(len(inputs))
+        if fn is None:
+            fn = cache[len(inputs)] = jax.jit(jax.vmap(self._body))
+        return fn(*stacked)
+
     def render_batch_sharded(self, inputs, plans, mesh, axis: str = "scene"):
         """Render B scenes' fused programs with the batch SHARDED over a
         device mesh — the multi-chip dataset-generation path.
@@ -420,6 +449,7 @@ def render_scenes_pipelined(
     plan_kwargs: Optional[dict] = None,
     overlap_io: bool = True,
     fused: bool = False,
+    fused_batch: int = 1,
 ) -> int:
     """Dispatch-ahead dataset pipeline.
 
@@ -445,6 +475,14 @@ def render_scenes_pipelined(
     max_moving / max_traj / pad_audio_seconds) so every scene compiles to the
     same program — the same contract `parallel.bucket_plans` serves.
 
+    `fused_batch=K` (with fused=True) micro-batches K scenes per device
+    dispatch through the vmapped fused program (FusedSceneRenderer
+    .render_batch): on remote-chip hosts every dispatch/upload/download is an
+    RPC whose LATENCY dominates, so batching cuts the per-scene link overhead
+    K-fold. Scenes still complete in order; a trailing partial group (or
+    scenes ahead of an incompatible one) renders per-scene through the
+    already-compiled single-scene program.
+
     Returns the number of scenes completed.
     """
     import queue as _queue
@@ -455,13 +493,20 @@ def render_scenes_pipelined(
 
     def _finish(item):
         nonlocal done
-        scene, plan, q, scales = item
-        mixed = mix_plan_host(plan, q, scales)
-        audio = OrderedDict(
-            (alias, mixed[a:b]) for alias, a, b in mic_channel_spans(scene)
-        )
-        complete(scene, audio)
-        done += 1
+        scenes, plans, q, scales, is_batch = item
+        if is_batch:
+            qn, sn = np.asarray(q), np.asarray(scales)  # ONE pull for K scenes
+        for i, (scene, plan) in enumerate(zip(scenes, plans)):
+            mixed = mix_plan_host(
+                plan,
+                qn[i] if is_batch else q,
+                sn[i] if is_batch else scales,
+            )
+            audio = OrderedDict(
+                (alias, mixed[a:b]) for alias, a, b in mic_channel_spans(scene)
+            )
+            complete(scene, audio)
+            done += 1
 
     if overlap_io:
         work: _queue.Queue = _queue.Queue(maxsize=max_in_flight)
@@ -482,9 +527,36 @@ def render_scenes_pipelined(
         thread.start()
 
     pending: list = []
+
+    def _emit(item):
+        for arr in (item[2], item[3]):
+            try:
+                arr.copy_to_host_async()
+            except (AttributeError, NotImplementedError):  # pragma: no cover
+                pass
+        if overlap_io:
+            work.put(item)
+            if errors:
+                raise errors[0]
+        else:
+            pending.append(item)
+            while len(pending) >= max_in_flight:
+                _finish(pending.pop(0))
+
     renderers: dict = {}  # one fused program per mesh seen
+    group: list = []  # (scene, plan) pairs awaiting a full micro-batch
+
+    def _flush_group(renderer):
+        # Partial groups render per-scene: the single-scene program is already
+        # compiled, while each distinct partial batch size would compile anew.
+        for scene, plan in group:
+            q, scales = renderer(scene, plan)
+            _emit(([scene], [plan], q, scales, False))
+        group.clear()
+
     it: Iterator = iter(scene_factory)
     try:
+        last_renderer = None
         while True:
             scene = next(it, None)
             if scene is None:
@@ -499,26 +571,33 @@ def render_scenes_pipelined(
                     except ValueError:
                         renderer = None
                 if renderer is not None and renderer.compatible(scene, plan):
+                    if fused_batch > 1:
+                        if group and renderer is not last_renderer:
+                            _flush_group(last_renderer)
+                        last_renderer = renderer
+                        group.append((scene, plan))
+                        if len(group) == fused_batch:
+                            inputs = [renderer.scene_inputs(s) for s, _ in group]
+                            q, scales = renderer.render_batch(
+                                inputs, [p for _, p in group]
+                            )
+                            item = ([s for s, _ in group], [p for _, p in group],
+                                    q, scales, True)
+                            group.clear()
+                            _emit(item)
+                        continue
                     q, scales = renderer(scene, plan)
                 else:  # layout outside the template's buckets: plan path
+                    if group:
+                        _flush_group(last_renderer)
                     plan = build_scene_plan(scene, **(plan_kwargs or {}))
                     q, scales = stems_from_plan(plan)
             else:
                 plan = build_scene_plan(scene, **(plan_kwargs or {}))
                 q, scales = stems_from_plan(plan)
-            for arr in (q, scales):
-                try:
-                    arr.copy_to_host_async()
-                except (AttributeError, NotImplementedError):  # pragma: no cover
-                    pass
-            if overlap_io:
-                work.put((scene, plan, q, scales))
-                if errors:
-                    raise errors[0]
-            else:
-                pending.append((scene, plan, q, scales))
-                while len(pending) >= max_in_flight:
-                    _finish(pending.pop(0))
+            _emit(([scene], [plan], q, scales, False))
+        if group:
+            _flush_group(last_renderer)
         if overlap_io:
             work.join()
             if errors:

@@ -49,7 +49,7 @@ IR_SECONDS = 1.0  # repo default MAX_IR_SECONDS (rlr ships 4.0; see README)
 N_RAYS = 5000
 MAX_DEPTH = 60
 ROOM = np.array([7.0, 5.0, 3.0])
-N_WARMUP = 2
+N_WARMUP = 4  # >= the pipeline's fused_batch, so the batch program compiles in warmup
 N_MEASURE = 8
 N_RUNS = 3
 
@@ -146,7 +146,8 @@ def run_production(mesh, fg_root, out_dir: Path, n_scenes, seed0, simplify=True)
         complete,
         max_in_flight=4,
         plan_kwargs=PLAN_KWARGS,
-        fused=True,  # one device dispatch per scene (trace + stems fused)
+        fused=True,  # trace + stems fused into one device program
+        fused_batch=4,  # 4 scenes per dispatch: amortises the tunnel's RPC latency
     )
     elapsed = time.time() - t0
     assert n == n_scenes
@@ -237,7 +238,7 @@ def main():
     value = statistics.median(chip_rates)
 
     # ---- continuity metric: 12-face convex box (occlusion skipped) ---------
-    run_production(box, fg_root, out_dir, 1, seed0=7000, simplify=False)  # warm
+    run_production(box, fg_root, out_dir, N_WARMUP, seed0=7000, simplify=False)  # warm
     box_elapsed = run_production(box, fg_root, out_dir, N_MEASURE, seed0=7100, simplify=False)
     box_value = N_MEASURE * SCENE_SECONDS / box_elapsed
 

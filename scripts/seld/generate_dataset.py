@@ -310,6 +310,7 @@ def generate_fused(args, jobs, rng: np.random.Generator) -> None:
             pad_audio_seconds=config.MAX_EVENT_DURATION,
         ),
         fused=True,
+        fused_batch=args.fused_batch,
     )
 
 
@@ -361,6 +362,11 @@ def main():
     parser.add_argument("--rays", type=int, default=None, help="indirect ray count (rlr)")
     parser.add_argument("--ray-depth", type=int, default=None, help="indirect ray depth (rlr)")
     parser.add_argument("--ir-seconds", type=float, default=config.MAX_IR_SECONDS)
+    parser.add_argument(
+        "--fused-batch", type=int, default=4,
+        help="scenes per fused device dispatch (amortises link RPC latency; "
+        "only applies to --pipeline fused)",
+    )
     parser.add_argument("--duration", type=float, default=DURATION)
     parser.add_argument("--seed", type=int, default=utils.SEED)
     parser.add_argument(

@@ -308,3 +308,31 @@ def test_render_batch_sharded_over_mesh(fg_dir, scan_mesh):
             np.asarray(q_b[i], np.int32) - np.asarray(q1, np.int32)
         ).max()
         assert diff <= 64, f"sharded stems diverge: {diff} LSBs"
+
+
+def test_render_scenes_pipelined_fused_batch_matches(fg_dir, scan_mesh):
+    """fused_batch micro-batching produces the same audio as per-scene fused
+    rendering (same PRNG walk: scene_inputs is consumed in scene order either
+    way), including a trailing partial group."""
+
+    def collect(k):
+        np.random.seed(11)
+        scenes = [make_scanned_scene(fg_dir, scan_mesh, seed=20 + i) for i in range(3)]
+        got = {}
+
+        def complete(scene, audio):
+            got[id(scene)] = audio["m"]
+
+        n = render_scenes_pipelined(
+            iter(scenes), complete, plan_kwargs=PLAN_KW, fused=True,
+            fused_batch=k, max_in_flight=2,
+        )
+        assert n == 3
+        return [got[id(s)] for s in scenes]
+
+    ref = collect(1)
+    out = collect(2)  # one full pair + one trailing partial
+    for a, b in zip(ref, out):
+        assert a.shape == b.shape
+        scale = max(np.abs(a).max(), 1e-9)
+        assert np.max(np.abs(a - b)) / scale < 5e-3
