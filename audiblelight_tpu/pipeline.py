@@ -288,10 +288,14 @@ class FusedSceneRenderer:
             and (not self._occl or ws._rain_mode() == "face")
         )
 
-    def scene_inputs(self, scene):
+    def scene_inputs(self, scene, device: bool = True):
         """Per-scene tracer inputs: (key, padded sources, listeners,
         s_idx, m_idx). Advances the worldstate PRNG key exactly like
-        `trace_irs_device` so a fused render consumes the same key stream."""
+        `trace_irs_device` so a fused render consumes the same key stream.
+
+        `device=False` returns host (numpy) arrays — batch renderers stack a
+        group's inputs on host and ship them in one upload instead of one
+        RPC per scene."""
         import jax
         import jax.numpy as jnp
 
@@ -335,15 +339,18 @@ class FusedSceneRenderer:
             counter += n_em
 
         ws._key, sub = jax.random.split(ws._key)
+        host = (
+            np.asarray(sub), src.astype(np.float32),
+            caps.astype(np.float32), s_idx, m_idx,
+        )
+        if not device:
+            return host
         # One batched upload: per-transfer RPC latency dominates on remote
         # links, so the key and the four host arrays ship together (see
         # build_scene_plan). Rain visibility is computed in-program from the
         # listener input. The worldstate key lives on the CPU backend, so the
         # split above costs no device round trip.
-        sub_d, src_d, caps_d, s_d, m_d = jax.device_put(
-            (np.asarray(sub), src.astype(np.float32), caps.astype(np.float32), s_idx, m_idx)
-        )
-        return (sub_d, src_d, caps_d, s_d, m_d)
+        return jax.device_put(host)
 
     @staticmethod
     def plan_args(plan: ScenePlan) -> tuple:
@@ -380,8 +387,22 @@ class FusedSceneRenderer:
         if len(inputs) != len(plans):
             raise ValueError("one plan per scene required")
         leaves = [tuple(i) + self.plan_args(p) for i, p in zip(inputs, plans)]
+        # Host (numpy) leaves — per-scene inputs collected with
+        # scene_inputs(device=False) — stack on host and ship in ONE upload;
+        # device leaves (the plans' tensors) stack with async device ops.
+        host_stacked, dev_stacked = {}, {}
+        for k in range(len(leaves[0])):
+            xs = [l[k] for l in leaves]
+            if all(isinstance(x, np.ndarray) for x in xs):
+                host_stacked[k] = np.stack(xs)
+            else:
+                dev_stacked[k] = jnp.stack([jnp.asarray(x) for x in xs])
+        if host_stacked:
+            ks = list(host_stacked)
+            for k, v in zip(ks, jax.device_put(tuple(host_stacked[k] for k in ks))):
+                host_stacked[k] = v
         stacked = tuple(
-            jnp.stack([jnp.asarray(l[k]) for l in leaves])
+            host_stacked[k] if k in host_stacked else dev_stacked[k]
             for k in range(len(leaves[0]))
         )
         cache = getattr(self, "_batch_programs", None)
@@ -577,7 +598,10 @@ def render_scenes_pipelined(
                         last_renderer = renderer
                         group.append((scene, plan))
                         if len(group) == fused_batch:
-                            inputs = [renderer.scene_inputs(s) for s, _ in group]
+                            inputs = [
+                                renderer.scene_inputs(s, device=False)
+                                for s, _ in group
+                            ]
                             q, scales = renderer.render_batch(
                                 inputs, [p for _, p in group]
                             )
