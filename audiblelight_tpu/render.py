@@ -297,6 +297,7 @@ def build_scene_plan(
     max_traj: Optional[int] = None,
     pad_audio_seconds: Optional[float] = None,
     trace: bool = True,
+    device: bool = True,
 ) -> ScenePlan:
     """Compile a Scene into a fixed-shape ScenePlan.
 
@@ -308,7 +309,14 @@ def build_scene_plan(
     With `trace=False` the RIR simulation is skipped and the plan's IR banks
     are zeros — for `pipeline.FusedSceneRenderer`, whose single device program
     traces the IRs itself (the plan then carries only audio/weights/levels).
+
+    `device=False` (requires trace=False) keeps every tensor on the host:
+    micro-batch renderers stack a group of plans and ship them in one upload
+    (per-transfer RPC latency dominates remote links), and jit calls accept
+    the numpy fields transparently.
     """
+    if not device and trace:
+        raise ValueError("device=False requires trace=False (IR banks trace on device)")
     sr = scene.sample_rate
     # Prefer the backend's device-resident trace (no host round trip for the
     # IR banks — they go straight from the tracer into the stems program).
@@ -470,16 +478,17 @@ def build_scene_plan(
     # offsets feed the host mix (pipeline.mix_plan_host), and the ambience bed
     # is consumed by the final mix; device consumers (render_scene_plan,
     # parallel.shard_render) take numpy jit inputs transparently.
-    (
-        static_audio, static_irs, static_mask, static_snr, static_len,
-        static_place_len, moving_audio, moving_irs, moving_w, moving_mask,
-        moving_snr, moving_len, moving_place_len, ref_db,
-    ) = jax.device_put((
-        static_audio, static_irs, static_mask, static_snr, static_len,
-        static_place_len, moving_audio, moving_irs, moving_w, moving_mask,
-        moving_snr, moving_len, moving_place_len,
-        np.float32(scene.ref_db),
-    ))
+    ref_db = np.float32(scene.ref_db)
+    if device:
+        (
+            static_audio, static_irs, static_mask, static_snr, static_len,
+            static_place_len, moving_audio, moving_irs, moving_w, moving_mask,
+            moving_snr, moving_len, moving_place_len, ref_db,
+        ) = jax.device_put((
+            static_audio, static_irs, static_mask, static_snr, static_len,
+            static_place_len, moving_audio, moving_irs, moving_w, moving_mask,
+            moving_snr, moving_len, moving_place_len, ref_db,
+        ))
     return ScenePlan(
         static_audio=static_audio,
         static_irs=static_irs,
