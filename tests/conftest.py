@@ -20,6 +20,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA:CPU compilation cache: the multi-device sharding tests spend
+# most of their wall time compiling the same programs every run (~15 of the
+# suite's ~29 minutes on a 1-core host). The cache is keyed by program + flags
+# and kept CPU-only and machine-local (never shared with TPU processes — CPU
+# AOT artifacts are machine-specific).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cpu_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # pragma: no cover - cache is an optimisation only
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
