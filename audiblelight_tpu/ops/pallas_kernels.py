@@ -791,11 +791,12 @@ def _deposit_histogram_foa_kernel(
             visible, cos_th / (4.0 * jnp.pi**2 * jnp.maximum(d, 1e-2) ** 2), 0.0
         )  # (1, chunk)
         dep = erefl_ref[0, :, sl] * geom  # (B, chunk)
-        # AmbiX WXYZ gains for the arrival vector (listener - hit)/d —
-        # identical to the XLA path's _ambi_gains(dir_l) at order 1
-        ux = vx * inv_d
-        uy = vy * inv_d
-        uz = vz * inv_d
+        # AmbiX WXYZ gains for the ARRIVAL vector (hit - listener)/d: the
+        # encoders take receiver->source directions — identical to the XLA
+        # path's _ambi_gains(-dir_l) at order 1
+        ux = -vx * inv_d
+        uy = -vy * inv_d
+        uz = -vz * inv_d
         w = jnp.concatenate(
             [dep, dep * ux, dep * uy, dep * uz], axis=0
         )  # (4B, chunk), channel-major rows

@@ -344,11 +344,15 @@ def trace_energy_histogram(
                 hist = hist + jnp.moveaxis(add, 1, 2)
             else:
                 # Single listener; accumulate channel-weighted deposits
+                # ARRIVAL direction at the listener is hit -> listener
+                # NEGATED: the encoders take receiver->source vectors (the
+                # direct path passes source - listener); dir_l is the
+                # propagation direction listener <- hit.
                 if encoding == "binaural":
-                    gains = binaural_encoding_gains(dir_l[0])  # (R, 2)
+                    gains = binaural_encoding_gains(-dir_l[0])  # (R, 2)
                 else:
                     # foa / sh{N}: ambisonic gains at the tail's encode order
-                    gains = _ambi_gains(dir_l[0], sh_order, encoding)  # (R, C_out)
+                    gains = _ambi_gains(-dir_l[0], sh_order, encoding)  # (R, C_out)
                 weighted = deposit[0][:, None, :] * gains[:, :, None]  # (R, C_out, B)
                 add = bin_histogram(
                     bin_idx[0:1], weighted.reshape(1, r_src, -1), n_bins
@@ -1162,10 +1166,12 @@ def trace_energy_histogram_multi(
                     add.reshape(cl, n_sources, n_bins, n_bands), (1, 0, 3, 2)
                 )
             else:
+                # receiver->source arrival vector = -dir_l (see the
+                # single-source tracer's note)
                 if encoding == "binaural":
-                    gains = binaural_encoding_gains(dir_l[0])  # (TR, 2)
+                    gains = binaural_encoding_gains(-dir_l[0])  # (TR, 2)
                 else:
-                    gains = _ambi_gains(dir_l[0], sh_order, encoding)  # (TR, C_out)
+                    gains = _ambi_gains(-dir_l[0], sh_order, encoding)  # (TR, C_out)
                 weighted = deposit[0][:, None, :] * gains[:, :, None]  # (TR, C_out, B)
                 add = bin_histogram(
                     bin_idx[0].reshape(n_sources, r_src),

@@ -297,7 +297,8 @@ def test_bin_histogram_matches_scatter_large():
 def test_deposit_histogram_foa_fused_oracle(rng):
     """The FOA fused kernel matches a numpy replica of the XLA deposit chain
     with AmbiX order-1 gains [W, X, Y, Z] = [1, ux, uy, uz] of the arrival
-    vector (listener - hit)/d — the tracer's production encoding."""
+    (receiver->source) vector (hit - listener)/d — the tracer's production
+    encoding."""
     from audiblelight_tpu.ops.pallas_kernels import deposit_histogram_foa_pallas
 
     E, R, B, BINS = 3, 200, 4, 51
@@ -323,7 +324,7 @@ def test_deposit_histogram_foa_fused_oracle(rng):
             continue
         b = min(int(arrival / BIN_DT), BINS - 1)
         dep = e_refl[t] * cos / (4 * np.pi**2 * max(d, 1e-2) ** 2)
-        u = v / max(d, 1e-9)
+        u = -v / max(d, 1e-9)  # ARRIVAL (receiver->source) vector
         for c, g in enumerate([1.0, u[0], u[1], u[2]]):
             oracle[t // R, c, :, b] += dep * g
 

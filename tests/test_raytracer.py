@@ -428,3 +428,57 @@ def test_decimation_single_source_unbiased():
         jax.random.PRNGKey(6), tris, absorption, scatter, src, lis,
         decimate=True, **small))
     np.testing.assert_array_equal(a, b)
+
+
+def test_tail_first_order_arrival_direction():
+    """The TAIL's first-order encoding must point toward the arrivals.
+
+    Source close to the +x wall, highly absorbent room: early tail deposits
+    come from hit points clustered around the source on the +x side, so the
+    X channel's signed energy (AmbiX dipole, receiver->source convention, the
+    same convention the direct path uses) must be positive. A sign flip here
+    (encoding the propagation direction instead of the arrival direction)
+    passed every magnitude-based test while inverting the reverb's spatial
+    image relative to the direct path."""
+    from audiblelight_tpu.rir.raytracer import trace_energy_histogram_multi
+
+    tris, absorption, scatter = make_scene(alpha=0.9, scattering=1.0)
+    src = jnp.asarray([[5.6, 2.0, 1.5]])  # near the +x wall (room 6 x 4 x 3)
+    lis = jnp.asarray([[1.5, 2.0, 1.5]])
+    hist = np.asarray(
+        trace_energy_histogram_multi(
+            jax.random.PRNGKey(9), tris, absorption, scatter, src, lis,
+            n_sources=1, n_rays=4096, max_depth=3, n_bins=64, bin_dt=0.002,
+            encoding="foa", occlusion=False,
+        )
+    )  # (1, 4, 1, 64): AmbiX [W, X, Y, Z]
+    w = hist[0, 0, 0]
+    x = hist[0, 1, 0]
+    # Early bins only (first bounce generation): arrivals from the +x side
+    early = slice(0, 24)
+    assert w[early].sum() > 0
+    assert x[early].sum() > 0.3 * w[early].sum(), (
+        f"tail X dipole should point toward the +x arrivals "
+        f"(X={x[early].sum():.3e}, W={w[early].sum():.3e})"
+    )
+
+
+def test_tail_binaural_lateralisation():
+    """Binaural tail: a source on the listener's LEFT (+y) must put more
+    early-tail energy in the LEFT channel."""
+    from audiblelight_tpu.rir.raytracer import trace_energy_histogram_multi
+
+    tris, absorption, scatter = make_scene(alpha=0.9, scattering=1.0)
+    src = jnp.asarray([[3.0, 3.6, 1.5]])  # +y of listener (left)
+    lis = jnp.asarray([[3.0, 1.0, 1.5]])
+    hist = np.asarray(
+        trace_energy_histogram_multi(
+            jax.random.PRNGKey(10), tris, absorption, scatter, src, lis,
+            n_sources=1, n_rays=4096, max_depth=3, n_bins=64, bin_dt=0.002,
+            encoding="binaural", occlusion=False,
+        )
+    )  # (1, 2, 1, 64): [left, right]; ref channel 0 carries energy, channel
+    # 1 carries the covariance-matched companion — compare their signed sums
+    left = hist[0, 0, 0, :24].sum()
+    right = hist[0, 1, 0, :24].sum()
+    assert left > right, (left, right)
