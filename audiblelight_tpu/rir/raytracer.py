@@ -45,7 +45,18 @@ from audiblelight_tpu.rir.sh import (
     ambisonic_encoding_gains as _ambi_gains,
     binaural_encoding_gains,
     encoding_channels as _encoding_channels,
+    spherical_head_gains,
+    woodworth_itd,
 )
+
+
+def _band_centers(n_bands: int) -> jnp.ndarray:
+    """The tracer's octave-ish band centre frequencies (Hz), shared by the
+    histogram's binaural head-shadow weighting and the synthesis filterbank."""
+    return jnp.asarray(
+        np.geomspace(125.0, 8000.0, n_bands) if n_bands > 1 else np.array([1000.0]),
+        dtype=jnp.float32,
+    )
 
 
 def _use_fused_deposit() -> bool:
@@ -247,6 +258,7 @@ def trace_energy_histogram(
         )
 
     hist0 = jnp.zeros((c_out, n_bands, n_bins), dtype=jnp.float32)
+    band_freqs = _band_centers(n_bands)
     keys = jax.random.split(key, max_depth)
     mxu_tables = _mxu_tables_for(tris, accel, mesh_tiles)
 
@@ -349,11 +361,15 @@ def trace_energy_histogram(
                 # direct path passes source - listener); dir_l is the
                 # propagation direction listener <- hit.
                 if encoding == "binaural":
-                    gains = binaural_encoding_gains(-dir_l[0])  # (R, 2)
+                    # spherical-head shadow: per-BAND [L, R] gains (the
+                    # physical ILD tilt; the reference rlr engine renders
+                    # binaural with measured HRTFs — see rir.sh)
+                    gains = spherical_head_gains(-dir_l[0], band_freqs) ** 2
+                    weighted = deposit[0][:, None, :] * gains  # (R, 2, B)
                 else:
                     # foa / sh{N}: ambisonic gains at the tail's encode order
                     gains = _ambi_gains(-dir_l[0], sh_order, encoding)  # (R, C_out)
-                weighted = deposit[0][:, None, :] * gains[:, :, None]  # (R, C_out, B)
+                    weighted = deposit[0][:, None, :] * gains[:, :, None]  # (R, C_out, B)
                 add = bin_histogram(
                     bin_idx[0:1], weighted.reshape(1, r_src, -1), n_bins
                 )  # (1, n_bins, C_out*B)
@@ -565,9 +581,16 @@ def synthesize_ir_from_histogram(
     var = jnp.mean(carriers**2, axis=-1, keepdims=True) + 1e-20  # (C|1, B, 1)
 
     # --- envelopes -----------------------------------------------------------
-    if encoding == "omni":
+    if encoding in ("omni", "binaural"):
+        # Per-channel energies: omni capsules carry independent energy; the
+        # binaural channels carry POWER-weighted (|H_ear|^2) energies, so each
+        # ear's amplitude envelope is sqrt of its own energy (the shared
+        # carrier below keeps interaural coherence).
         e_ref = hist  # (C, B, bins)
     else:
+        # Ambisonics: channel 0 (W, unit gain) carries energy; the remaining
+        # channels carry SIGNED direction-weighted energy, and dividing by
+        # sqrt(E_W) recovers their amplitude gains (covariance matching).
         e_ref = jnp.broadcast_to(jnp.maximum(hist[0:1], 0.0), hist.shape)
     env_bins = hist / jnp.sqrt(jnp.maximum(e_ref, 1e-20) * bin_samples)  # (C, B, bins)
 
@@ -584,6 +607,28 @@ def synthesize_ir_from_histogram(
 
 def _sinc_window_taps(n_taps: int = 64):
     return np.hanning(2 * n_taps + 1), n_taps
+
+
+def _binaural_direct_ir(dirs, amp, dist, n_samples, sr, c):
+    """Exact binaural direct path: per-ear Woodworth ITD + spherical-head
+    shadow magnitude on the full rfft grid, synthesised linear-phase.
+
+    The other encodings place a windowed sinc at the head-centre delay; ears
+    need a frequency-DEPENDENT magnitude (the ILD tilt) and per-ear delays,
+    which the frequency-domain form carries exactly (same construction as
+    diffracted_path_ir). dirs are receiver->source unit vectors.
+
+    Returns (E, 2, n_samples).
+    """
+    n_freq = n_samples // 2 + 1
+    freqs = jnp.arange(n_freq) * (sr / n_samples)
+    mag = spherical_head_gains(dirs, freqs)  # (E, 2, F) amplitude gains
+    itd = woodworth_itd(dirs, c=c)  # (E, 2) seconds
+    delay_samp = dist[:, None] * (sr / c) + itd * sr  # (E, 2)
+    k = jnp.arange(n_freq, dtype=jnp.float32)
+    phase = -2.0 * jnp.pi * k[None, None, :] * delay_samp[..., None] / n_samples
+    spec = amp[:, None, None] * mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return jnp.fft.irfft(spec, n=n_samples, axis=-1).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("n_samples", "sr", "encoding", "sh_order"))
@@ -613,10 +658,8 @@ def direct_path_ir(
     amp = (~occ) / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
 
     if encoding == "binaural":
-        gains = binaural_encoding_gains(dirs)[0]
-        amps = amp[0] * gains
-        delays = jnp.broadcast_to(d[0] * sr / c, (2,))
-    elif encoding != "omni":
+        return _binaural_direct_ir(dirs[0:1], amp[0:1], d[0:1], n_samples, sr, c)[0]
+    if encoding != "omni":
         gains = _ambi_gains(dirs, sh_order, encoding)[0]  # single listener
         amps = amp[0] * gains
         delays = jnp.broadcast_to(d[0] * sr / c, gains.shape)
@@ -682,10 +725,8 @@ def direct_paths_ir(
     amp = (~occ) / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))  # (E, C)
 
     if encoding == "binaural":
-        gains = binaural_encoding_gains(dirs[:, 0, :])  # (E, 2)
-        amps = amp[:, 0:1] * gains
-        delays = jnp.broadcast_to((d[:, 0] * sr / c)[:, None], gains.shape)
-    elif encoding != "omni":
+        return _binaural_direct_ir(dirs[:, 0, :], amp[:, 0], d[:, 0], n_samples, sr, c)
+    if encoding != "omni":
         gains = _ambi_gains(dirs[:, 0, :], sh_order, encoding)  # (E, C_out)
         amps = amp[:, 0:1] * gains
         delays = jnp.broadcast_to((d[:, 0] * sr / c)[:, None], gains.shape)
@@ -839,9 +880,15 @@ def diffracted_path_ir(
     dirs = (bend[None] - listener_pos)  # (1, 3)
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
     if encoding == "binaural":
-        gains = binaural_encoding_gains(dirs)[0]
-    else:
-        gains = _ambi_gains(dirs, sh_order, encoding)[0]
+        # The spectrum is already frequency-resolved: apply the spherical-head
+        # shadow magnitude and per-ear Woodworth ITD phase directly (see
+        # _binaural_direct_ir).
+        mag = spherical_head_gains(dirs, freqs)[0]  # (2, F)
+        itd_samp = woodworth_itd(dirs, c=c)[0] * sr  # (2,)
+        ph = -2.0 * jnp.pi * k_idx[None, :] * itd_samp[:, None] / n_samples
+        spec_ear = spec[0:1] * mag * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        return jnp.fft.irfft(spec_ear, n=n_samples, axis=-1).astype(jnp.float32)
+    gains = _ambi_gains(dirs, sh_order, encoding)[0]
     return gains[:, None] * ir_caps[0:1]
 
 
@@ -1040,6 +1087,7 @@ def trace_energy_histogram_multi(
         )
 
     hist0 = jnp.zeros((n_sources, c_out, n_bands, n_bins), dtype=jnp.float32)
+    band_freqs = _band_centers(n_bands)
     keys = jax.random.split(key, max_depth)
     mxu_tables = _mxu_tables_for(tris, accel, mesh_tiles)
 
@@ -1169,10 +1217,13 @@ def trace_energy_histogram_multi(
                 # receiver->source arrival vector = -dir_l (see the
                 # single-source tracer's note)
                 if encoding == "binaural":
-                    gains = binaural_encoding_gains(-dir_l[0])  # (TR, 2)
+                    # per-band spherical-head shadow (see the single-source
+                    # tracer's note)
+                    gains = spherical_head_gains(-dir_l[0], band_freqs) ** 2
+                    weighted = deposit[0][:, None, :] * gains  # (TR, 2, B)
                 else:
                     gains = _ambi_gains(-dir_l[0], sh_order, encoding)  # (TR, C_out)
-                weighted = deposit[0][:, None, :] * gains[:, :, None]  # (TR, C_out, B)
+                    weighted = deposit[0][:, None, :] * gains[:, :, None]  # (TR, C_out, B)
                 add = bin_histogram(
                     bin_idx[0].reshape(n_sources, r_src),
                     weighted.reshape(n_sources, r_src, -1),

@@ -111,9 +111,11 @@ def foa_encoding_gains(dirs: jnp.ndarray) -> jnp.ndarray:
 def binaural_encoding_gains(dirs: jnp.ndarray) -> jnp.ndarray:
     """Simple 2-channel (left, right) head-shadow gains for arrival directions.
 
-    A cardioid-weighted approximation (no HRTF measurement data): each ear is a
-    cardioid aimed at +-90 degrees azimuth. Sufficient for level-difference cues;
-    full HRTF convolution can be layered on later.
+    A cardioid-weighted approximation: each ear is a cardioid aimed at +-90
+    degrees azimuth. Sufficient for broadband level-difference cues; the
+    frequency-resolved spherical-head model below (`spherical_head_gains`,
+    `woodworth_itd`) carries the physical ILD tilt and ITD and is what the
+    tracer/direct-path binaural encodings use.
 
     Returns:
         (..., 2) gains ordered [left, right].
@@ -122,3 +124,74 @@ def binaural_encoding_gains(dirs: jnp.ndarray) -> jnp.ndarray:
     left = 0.5 * (1.0 + y)
     right = 0.5 * (1.0 - y)
     return jnp.stack([left, right], axis=-1)
+
+
+# Average human head radius (Duda & Martens 1998); the reference's rlr engine
+# renders its Binaural ChannelLayout with measured HRTFs — with no HRTF data
+# shippable here, the analytic spherical-head model is the standard stand-in:
+# correct ITD (Woodworth) and the physical head-shadow ILD tilt (+6 dB
+# ipsilateral boost, up to -20 dB contralateral shadow at high frequency).
+HEAD_RADIUS_M = 0.0875
+
+
+def spherical_head_gains(
+    dirs: jnp.ndarray,
+    freqs: jnp.ndarray,
+    c: float = 343.0,
+    head_radius: float = HEAD_RADIUS_M,
+) -> jnp.ndarray:
+    """Per-frequency [left, right] magnitude gains from the Brown-Duda
+    spherical-head shadow model (Brown & Duda, "A structural model for
+    binaural sound synthesis", IEEE TSAP 1998):
+
+        H(w, theta) = (1 + j alpha(theta) w / (2 w0)) / (1 + j w / (2 w0)),
+        w0 = c / a,   alpha(theta) = 1.05 + 0.95 cos(theta * 180 / 150),
+
+    where theta is the angle between the ARRIVAL (receiver->source) direction
+    and the ear axis (+y left, -y right; coordinates as utils
+    .polar_to_cartesian). |H| -> 1 at low frequency (diffraction wraps the
+    head), ~2 toward the near ear and ~0.1 in the far ear's shadow at high
+    frequency.
+
+    Arguments:
+        dirs: (..., 3) unit receiver->source vectors.
+        freqs: (F,) frequencies in Hz.
+
+    Returns:
+        (..., 2, F) magnitude gains ordered [left, right].
+    """
+    freqs = jnp.asarray(freqs, dtype=jnp.float32)
+    w_ratio = (2.0 * jnp.pi * freqs) * (head_radius / (2.0 * c))  # w / (2 w0)
+    y = jnp.clip(dirs[..., 1], -1.0, 1.0)
+
+    def ear(cos_th):
+        theta = jnp.arccos(cos_th)
+        alpha = 1.05 + 0.95 * jnp.cos(theta * (180.0 / 150.0))
+        num = 1.0 + (alpha[..., None] * w_ratio) ** 2
+        den = 1.0 + w_ratio**2
+        return jnp.sqrt(num / den)
+
+    return jnp.stack([ear(y), ear(-y)], axis=-2)
+
+
+def woodworth_itd(
+    dirs: jnp.ndarray, c: float = 343.0, head_radius: float = HEAD_RADIUS_M
+) -> jnp.ndarray:
+    """Per-ear arrival-time OFFSETS (seconds) for [left, right] from the
+    Woodworth spherical-head formula: relative to the head centre, the near
+    ear leads by (a/c) cos(theta_inc) and the far ear lags by
+    (a/c)(theta_inc - pi/2) once the path wraps the head (theta_inc is the
+    angle from the ear axis; the two regimes join continuously at 90 deg).
+
+    Returns:
+        (..., 2) time offsets to ADD to the head-centre delay.
+    """
+    y = jnp.clip(jnp.asarray(dirs)[..., 1], -1.0, 1.0)
+
+    def ear(cos_th):
+        theta = jnp.arccos(cos_th)
+        direct = -cos_th  # leads (negative offset) when the source is ear-side
+        wrapped = theta - jnp.pi / 2.0
+        return (head_radius / c) * jnp.where(theta < jnp.pi / 2.0, direct, wrapped)
+
+    return jnp.stack([ear(y), ear(-y)], axis=-1)

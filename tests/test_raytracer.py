@@ -482,3 +482,42 @@ def test_tail_binaural_lateralisation():
     left = hist[0, 0, 0, :24].sum()
     right = hist[0, 1, 0, :24].sum()
     assert left > right, (left, right)
+
+
+def test_binaural_direct_itd_and_shadow():
+    """Spherical-head binaural direct path: a source on the LEFT arrives at
+    the left ear first (Woodworth ITD) and with more high-frequency energy
+    (head shadow); a frontal source is interaurally symmetric."""
+    from audiblelight_tpu.rir.sh import HEAD_RADIUS_M
+
+    tris, absorption, scatter = make_scene()
+    lis = jnp.asarray([[3.0, 1.0, 1.5]])
+    sr_ = 48000
+    n = 4096
+
+    # Left source (+y of listener)
+    ir = np.asarray(direct_path_ir(
+        tris, jnp.asarray([3.0, 3.0, 1.5]), lis, n, sr=sr_, encoding="binaural",
+    ))
+    assert ir.shape == (2, n)
+    onset_l = int(np.argmax(np.abs(ir[0]) > 0.25 * np.abs(ir[0]).max()))
+    onset_r = int(np.argmax(np.abs(ir[1]) > 0.25 * np.abs(ir[1]).max()))
+    itd = (onset_r - onset_l) / sr_
+    expected = HEAD_RADIUS_M / 343.0 * (1.0 + np.pi / 2.0)  # ~0.66 ms at 90 deg
+    assert 0.5 * expected < itd < 1.5 * expected, (itd, expected)
+
+    # Head shadow: HF energy ratio L >> R, LF roughly equal
+    spec_l = np.abs(np.fft.rfft(ir[0]))
+    spec_r = np.abs(np.fft.rfft(ir[1]))
+    freqs = np.fft.rfftfreq(n, 1 / sr_)
+    hf = freqs > 6000
+    lf = (freqs > 100) & (freqs < 500)
+    assert spec_l[hf].sum() > 3.0 * spec_r[hf].sum()
+    assert 0.6 < spec_l[lf].sum() / spec_r[lf].sum() < 1.7
+
+    # Frontal source: symmetric
+    ir_f = np.asarray(direct_path_ir(
+        tris, jnp.asarray([5.0, 1.0, 1.5]), lis, n, sr=sr_, encoding="binaural",
+    ))
+    e_l, e_r = float((ir_f[0] ** 2).sum()), float((ir_f[1] ** 2).sum())
+    assert abs(e_l - e_r) / max(e_l, e_r) < 0.05
