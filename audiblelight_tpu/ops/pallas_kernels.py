@@ -849,14 +849,10 @@ def deposit_histogram_foa_pallas(
     nrm_t = per_source(normal)
     erefl_t = per_source(e_refl)
     dist_t = per_source(dist[:, None])
-    occ_t = jnp.moveaxis(
-        jnp.pad(
-            occ.astype(jnp.int32).reshape(1, n_sources, r),
-            ((0, 0), (0, 0), (0, r_pad - r)),
-            constant_values=1,  # padded rays: invisible -> zero deposit
-        ),
-        0,
-        0,
+    occ_t = jnp.pad(
+        occ.astype(jnp.int32).reshape(1, n_sources, r),
+        ((0, 0), (0, 0), (0, r_pad - r)),
+        constant_values=1,  # padded rays: invisible -> zero deposit
     ).reshape(n_sources, 1, r_pad)
 
     grid = (n_sources,)

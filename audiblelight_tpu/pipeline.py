@@ -202,27 +202,12 @@ class FusedSceneRenderer:
 
         shared_vis = bool(cfg.shared_visibility)
 
-        def render(key, sources, listeners, s_idx, m_idx,
+        def render(key, sources, listeners, face_occ, s_idx, m_idx,
                    static_audio, static_mask, static_snr, static_len,
                    static_place_len, moving_audio, moving_w, moving_mask,
                    moving_snr, moving_len, moving_place_len, ref_db):
-            from audiblelight_tpu.rir.raytracer import (
-                face_rain_occlusion,
-                trace_rirs_multi,
-            )
+            from audiblelight_tpu.rir.raytracer import trace_rirs_multi
 
-            if occl:
-                # Per-face rain visibility computed IN-PROGRAM from the
-                # listener input: the standalone rain_occlusion_for dispatch
-                # cost a full device round trip per scene on remote links.
-                pts = (
-                    jnp.mean(listeners, axis=0, keepdims=True)
-                    if shared_vis
-                    else listeners
-                )
-                face_occ = face_rain_occlusion(atris, normals, pts)
-            else:
-                face_occ = None
             irs = trace_rirs_multi(
                 key, atris, absorption, scattering, sources, listeners,
                 n_samples=n_samples, sr=sr,
@@ -236,7 +221,7 @@ class FusedSceneRenderer:
                 face_transmission=face_tau,
                 transmission=bool(cfg.transmission),
                 shared_visibility=bool(cfg.shared_visibility),
-                face_occlusion=face_occ,
+                face_occlusion=face_occ if occl else None,
                 mesh_tiles=mesh_tiles,
                 tris_direct=full_tris if simplified else None,
                 sh_order_direct=int(cfg.direct_sh_order),
@@ -290,7 +275,7 @@ class FusedSceneRenderer:
 
     def scene_inputs(self, scene, device: bool = True):
         """Per-scene tracer inputs: (key, padded sources, listeners,
-        s_idx, m_idx). Advances the worldstate PRNG key exactly like
+        face_occ, s_idx, m_idx). Advances the worldstate PRNG key exactly like
         `trace_irs_device` so a fused render consumes the same key stream.
 
         `device=False` returns host (numpy) arrays — batch renderers stack a
@@ -338,19 +323,32 @@ class FusedSceneRenderer:
                 si += 1
             counter += n_em
 
+        # Per-face rain visibility: a DEVICE-resident table cached by rounded
+        # listener position (ws.rain_occlusion_for) — fixed-mic dataset runs
+        # compute it once per room; random-mic scenes pay one extra ASYNC
+        # dispatch that the pipeline hides. (Computing it in-program instead
+        # was measured round-trip-neutral but recomputed the table per scene
+        # — and per vmapped batch LANE — even for repeated positions.)
+        if self._occl:
+            pts = caps.mean(axis=0, keepdims=True) if self._shared_vis else caps
+            face_occ = ws.rain_occlusion_for(pts)
+        else:
+            face_occ = jnp.zeros((1, ws.acoustic_tris_device.shape[0]), bool)
+
         ws._key, sub = jax.random.split(ws._key)
         host = (
             np.asarray(sub), src.astype(np.float32),
             caps.astype(np.float32), s_idx, m_idx,
         )
         if not device:
-            return host
+            return host[:3] + (face_occ,) + host[3:]
         # One batched upload: per-transfer RPC latency dominates on remote
         # links, so the key and the four host arrays ship together (see
-        # build_scene_plan). Rain visibility is computed in-program from the
-        # listener input. The worldstate key lives on the CPU backend, so the
-        # split above costs no device round trip.
-        return jax.device_put(host)
+        # build_scene_plan); the rain table is already device-resident. The
+        # worldstate key lives on the CPU backend, so the split above costs
+        # no device round trip.
+        sub_d, src_d, caps_d, s_d, m_d = jax.device_put(host)
+        return (sub_d, src_d, caps_d, face_occ, s_d, m_d)
 
     @staticmethod
     def plan_args(plan: ScenePlan) -> tuple:

@@ -429,28 +429,6 @@ def trace_energy_histogram(
     return carry[-1]
 
 
-def _bounce_until_dead(bounce, init, keys, max_depth):
-    """Run the bounce loop with an exact early exit.
-
-    Rays die by energy (absorption compounds to the kill threshold in ~35-40
-    bounces at typical alpha) or by the IR distance window; once EVERY ray is
-    dead, remaining bounces deposit exactly zero, so exiting early is bitwise
-    identical to running the full scan — it just stops paying for dead
-    wavefronts (rlr's default depth is 200; most of those never fire).
-    """
-    def cond(state):
-        i, carry = state
-        return (i < max_depth) & jnp.any(carry[4])
-
-    def body(state):
-        i, carry = state
-        new_carry, _ = bounce(carry, keys[i])
-        return (i + 1, new_carry)
-
-    _, final = jax.lax.while_loop(cond, body, (jnp.asarray(0), init))
-    return final[-1]  # hist is the carry's last element
-
-
 def decimation_phases(n_rays: int, max_depth: int, enabled: bool) -> tuple:
     """Static (start_bounce, end_bounce, rays_per_source) schedule for
     progressive wavefront decimation.
@@ -609,6 +587,40 @@ def _sinc_window_taps(n_taps: int = 64):
     return np.hanning(2 * n_taps + 1), n_taps
 
 
+def _linear_phase(delay_samp: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+    """exp(-2 pi j k delay / N) on the rfft grid, float32-safe at any IR length.
+
+    The naive float32 product k * delay loses ~0.03 rad at reference-parity
+    IR lengths (4 s at 24 kHz: k*delay ~ 4.6e9, ulp ~512) — audible broadband
+    noise around the impulse. Delay splits into exact integer + fractional
+    parts and (k * d_int) mod N is computed exactly in int32 (the same
+    construction rir.image_source uses; intermediates stay below 2^31 for IRs
+    up to ~740k samples).
+
+    Arguments:
+        delay_samp: (...,) delays in samples (may be fractional/negative).
+    Returns:
+        (..., n_freq) complex64 phasors.
+    """
+    n_freq = n_samples // 2 + 1
+    d_int = jnp.floor(delay_samp).astype(jnp.int32)
+    d_frac = (delay_samp - d_int.astype(jnp.float32))[..., None]
+    d_mod = jnp.mod(d_int, n_samples)[..., None]
+    d_hi = d_mod >> 8
+    d_lo = d_mod & 255
+    k_row = jnp.arange(n_freq, dtype=jnp.int32).reshape(
+        (1,) * (d_mod.ndim - 1) + (n_freq,)
+    )
+    prod_mod = jnp.mod(
+        jnp.mod(jnp.mod(k_row * d_hi, n_samples) << 8, n_samples) + k_row * d_lo,
+        n_samples,
+    )
+    phase = (-2.0 * jnp.pi / n_samples) * (
+        prod_mod.astype(jnp.float32) + k_row.astype(jnp.float32) * d_frac
+    )
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
 def _binaural_direct_ir(dirs, amp, dist, n_samples, sr, c):
     """Exact binaural direct path: per-ear Woodworth ITD + spherical-head
     shadow magnitude on the full rfft grid, synthesised linear-phase.
@@ -616,7 +628,9 @@ def _binaural_direct_ir(dirs, amp, dist, n_samples, sr, c):
     The other encodings place a windowed sinc at the head-centre delay; ears
     need a frequency-DEPENDENT magnitude (the ILD tilt) and per-ear delays,
     which the frequency-domain form carries exactly (same construction as
-    diffracted_path_ir). dirs are receiver->source unit vectors.
+    diffracted_path_ir). dirs are receiver->source unit vectors. Arrivals
+    outside [0, n_samples) are dropped (matching the windowed-sinc paths'
+    in-range mask — a cyclic irfft would otherwise wrap them around).
 
     Returns (E, 2, n_samples).
     """
@@ -625,9 +639,12 @@ def _binaural_direct_ir(dirs, amp, dist, n_samples, sr, c):
     mag = spherical_head_gains(dirs, freqs)  # (E, 2, F) amplitude gains
     itd = woodworth_itd(dirs, c=c)  # (E, 2) seconds
     delay_samp = dist[:, None] * (sr / c) + itd * sr  # (E, 2)
-    k = jnp.arange(n_freq, dtype=jnp.float32)
-    phase = -2.0 * jnp.pi * k[None, None, :] * delay_samp[..., None] / n_samples
-    spec = amp[:, None, None] * mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    in_range = (delay_samp >= 0.0) & (delay_samp < n_samples - 1)
+    spec = (
+        (amp[:, None] * in_range)[..., None]
+        * mag
+        * _linear_phase(delay_samp, n_samples)
+    )
     return jnp.fft.irfft(spec, n=n_samples, axis=-1).astype(jnp.float32)
 
 
@@ -869,9 +886,10 @@ def diffracted_path_ir(
         w = w.at[jnp.arange(n_freq), idx_hi].add(w_hi)
     g_f = gain_b @ w.T  # (C, F) magnitude
     delay_samp = path * (sr / c)
-    k_idx = jnp.arange(n_freq, dtype=jnp.float32)
-    phase = -2.0 * jnp.pi * k_idx[None, :] * delay_samp[:, None] / n_samples
-    spec = g_f * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    # float32-safe linear phase (see _linear_phase); bent paths longer than
+    # the IR window are dropped rather than wrapped by the cyclic irfft
+    g_f = g_f * (delay_samp < n_samples - 1)[:, None]
+    spec = g_f * _linear_phase(delay_samp, n_samples)
     ir_caps = jnp.fft.irfft(spec, n=n_samples, axis=-1).astype(jnp.float32)  # (C, S)
 
     if encoding == "omni":
@@ -884,9 +902,9 @@ def diffracted_path_ir(
         # shadow magnitude and per-ear Woodworth ITD phase directly (see
         # _binaural_direct_ir).
         mag = spherical_head_gains(dirs, freqs)[0]  # (2, F)
-        itd_samp = woodworth_itd(dirs, c=c)[0] * sr  # (2,)
-        ph = -2.0 * jnp.pi * k_idx[None, :] * itd_samp[:, None] / n_samples
-        spec_ear = spec[0:1] * mag * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        itd_samp = woodworth_itd(dirs, c=c)[0] * sr  # (2,) — tiny (<20 samples),
+        # but _linear_phase handles negatives exactly too
+        spec_ear = spec[0:1] * mag * _linear_phase(itd_samp, n_samples)
         return jnp.fft.irfft(spec_ear, n=n_samples, axis=-1).astype(jnp.float32)
     gains = _ambi_gains(dirs, sh_order, encoding)[0]
     return gains[:, None] * ir_caps[0:1]
@@ -997,11 +1015,7 @@ def trace_rirs(
         sh_order=sh_order_indirect,
         decimate=decimate,
     )
-    band_freqs = jnp.asarray(
-        np.geomspace(125.0, 8000.0, face_absorption.shape[1])
-        if face_absorption.shape[1] > 1
-        else np.array([1000.0])
-    )
+    band_freqs = _band_centers(face_absorption.shape[1])
     tail = synthesize_ir_from_histogram(
         k_synth, hist, band_freqs, n_samples, bin_dt, sr=sr, encoding=encoding
     )
@@ -1360,11 +1374,7 @@ def trace_rirs_multi(
         decimate=decimate,
     )  # (E, C_out, B, bins)
 
-    band_freqs = jnp.asarray(
-        np.geomspace(125.0, 8000.0, face_absorption.shape[1])
-        if face_absorption.shape[1] > 1
-        else np.array([1000.0])
-    )
+    band_freqs = _band_centers(face_absorption.shape[1])
     synth_keys = jax.random.split(k_synth, n_sources)
     tails = jax.vmap(
         lambda k, h: synthesize_ir_from_histogram(
