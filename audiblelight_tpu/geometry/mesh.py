@@ -318,9 +318,12 @@ class TriMesh:
             extent = float(np.max(self.bounds[1] - self.bounds[0]))
             lo, hi = extent / 4096.0, extent / 4.0  # bisect on voxel size
             best = None
+            # _cluster (uncached): memoizing ~24 intermediate LODs per room
+            # leaked tens of MB per mesh across a dataset run — only the
+            # final budget-satisfying mesh is worth keeping.
             for _ in range(24):
                 mid = float(np.sqrt(lo * hi))  # geometric bisection
-                m = self.simplified(voxel=mid)
+                m = self._cluster(mid)
                 if len(m.faces) > target_faces:
                     lo = mid
                 else:
@@ -328,10 +331,16 @@ class TriMesh:
                     hi = mid
                 if hi / lo < 1.02:
                     break
-            result = best[1] if best is not None else self.simplified(voxel=hi)
+            result = best[1] if best is not None else self._cluster(hi)
             memo[memo_key] = result
             return result
 
+        result = self._cluster(float(voxel))
+        memo[memo_key] = result
+        return result
+
+    def _cluster(self, voxel: float) -> "TriMesh":
+        """Uncached vertex-clustering worker for `simplified` (one voxel size)."""
         v = self.vertices
         origin = v.min(axis=0)
         key = np.floor((v - origin) / float(voxel)).astype(np.int64)
@@ -362,9 +371,7 @@ class TriMesh:
         meta = dict(self.metadata)
         meta["simplified_from_faces"] = len(self.faces)
         meta["simplified_voxel"] = float(voxel)
-        result = TriMesh(rep, f.astype(np.int32), meta)
-        memo[memo_key] = result
-        return result
+        return TriMesh(rep, f.astype(np.int32), meta)
 
     def jittered(self, amplitude: float, seed: int = 0) -> "TriMesh":
         """Displace vertices by uniform noise of +-`amplitude` (shared vertices

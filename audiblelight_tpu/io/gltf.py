@@ -129,10 +129,21 @@ def _node_transform(node: dict) -> np.ndarray:
 
 
 def _decode_image(gltf: dict, buffers: list, img_idx: int, path: Path):
-    """Decode a glTF image (bufferView or URI) to (H, W, 3) uint8 RGB."""
+    """Decode a glTF image (bufferView or URI) to (H, W, 3) uint8 RGB, or
+    None when pillow (an optional visualisation dependency) is unavailable —
+    texture decode must never block ACOUSTIC use of a scanned mesh."""
     import io as _io
 
-    from PIL import Image
+    try:
+        from PIL import Image
+    except ImportError:
+        from audiblelight_tpu.utils import logger
+
+        logger.warning(
+            "pillow is not installed: glTF textures are skipped (geometry "
+            "loads normally; panoramas fall back to per-face albedo)"
+        )
+        return None
 
     img = gltf["images"][img_idx]
     if "bufferView" in img:
@@ -246,8 +257,10 @@ def load_gltf(
             uv = _read_uv(gltf, buffers, prim)
             if img_idx is not None and uv is not None:
                 if img_idx not in image_slots:
-                    image_slots[img_idx] = len(textures)
-                    textures.append(_decode_image(gltf, buffers, img_idx, path))
+                    decoded = _decode_image(gltf, buffers, img_idx, path)
+                    image_slots[img_idx] = len(textures) if decoded is not None else -1
+                    if decoded is not None:
+                        textures.append(decoded)
                 vis_tex.append(np.full(n_f, image_slots[img_idx], dtype=np.int32))
                 vis_uv.append(uv[local].astype(np.float32))
             else:

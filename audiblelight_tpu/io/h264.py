@@ -43,7 +43,15 @@ def _load():
         return None
     try:
         if not _SO.is_file() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            subprocess.run(_BUILD, check=True, capture_output=True, timeout=120)
+            try:
+                subprocess.run(_BUILD, check=True, capture_output=True, timeout=120)
+            except Exception as build_exc:
+                # A failed rebuild (no gcc / no libav headers) must not defeat
+                # a SHIPPED prebuilt shim — archive extraction freshens source
+                # mtimes routinely. Loading only needs the runtime libs.
+                if not _SO.is_file():
+                    raise
+                logger.debug(f"h264 shim rebuild failed ({build_exc}); using prebuilt")
         lib = ctypes.CDLL(str(_SO))
         lib.h264_writer_open.restype = ctypes.c_void_p
         lib.h264_writer_open.argtypes = [
@@ -158,6 +166,18 @@ def read_video_frames(
         raise RuntimeError(f"could not open video {path}")
 
     width, height = int(w.value), int(h.value)
+    # The generator's finally only runs once iteration STARTS; callers that
+    # open a file just for metadata would otherwise leak the demuxer/decoder
+    # contexts and the fd. The finalizer closes on garbage collection too,
+    # and is idempotent with the generator's own close.
+    import weakref
+
+    closed = {"done": False}
+
+    def _close():
+        if not closed["done"]:
+            closed["done"] = True
+            lib.video_reader_close(rd)
 
     def _iter():
         buf = ctypes.create_string_buffer(width * height * 3)
@@ -172,9 +192,11 @@ def read_video_frames(
                     buf.raw, dtype=np.uint8
                 ).reshape(height, width, 3).copy()
         finally:
-            lib.video_reader_close(rd)
+            _close()
 
-    return _iter(), width, height, float(fps.value)
+    it = _iter()
+    weakref.finalize(it, _close)
+    return it, width, height, float(fps.value)
 
 
 __all__ = ["h264_available", "write_h264_mp4", "read_video_frames"]

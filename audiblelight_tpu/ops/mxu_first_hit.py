@@ -154,13 +154,17 @@ def _mxu_first_hit_kernel(
         # themselves; at default (bf16-input) precision the min over thousands
         # of noisy window tests selects the extreme noise — false hits at
         # arbitrary t that teleport rays (measured: RT60 collapsing 650->407 ms
-        # on a scanned LOD). HIGH (bf16x3 ~ f32) keeps the selection sound;
-        # det/t_num are well-conditioned and stay on the fast path (t is
-        # re-evaluated exactly outside the kernel anyway).
+        # on a scanned LOD). HIGHEST (~f32) keeps the selection sound — and is
+        # the only non-default precision Mosaic lowers (HIGH raises
+        # "Unsupported dot precision" on real TPUs; verified on v5e) — which
+        # is exactly why the module ships default-off: paying for HIGHEST
+        # erases the matmul win (see the docstring's measurements). det/t_num
+        # are well-conditioned and stay on the fast path (t is re-evaluated
+        # exactly outside the kernel anyway).
         u_num = jnp.dot(rmat, fu_ref[:, sl], preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGH)
+                        precision=jax.lax.Precision.HIGHEST)
         v_num = jnp.dot(rmat, fv_ref[:, sl], preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGH)
+                        precision=jax.lax.Precision.HIGHEST)
         det = jnp.dot(rmat, fa_ref[:, sl], preferred_element_type=jnp.float32)
         t_num = jnp.dot(rmat, ft_ref[:, sl], preferred_element_type=jnp.float32)
 

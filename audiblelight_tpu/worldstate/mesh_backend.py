@@ -305,6 +305,8 @@ class WorldStateRLR(PlacementMixin, WorldState):
             self._acoustic_mesh_cache = None
             self._acoustic_tris_device = None
             self._rain_occ_cache = {}
+            self._irs_device_cache = None
+            self._irs = None
         return self._tris_device
 
     @property
@@ -740,6 +742,9 @@ class WorldStateRLR(PlacementMixin, WorldState):
         # One trace per (emitters, microphones) configuration: simulate()
         # followed by a compiled-plan build must not trace twice.
         cache_key = (
+            # Geometry identity: a mutated/replaced mesh must never serve IRs
+            # traced against the old one (same defence as the accel caches)
+            self._mesh_fingerprint(),
             tuple(np.round(self._emitter_positions().ravel(), 6).tolist()),
             tuple(
                 (a, m.name, tuple(np.round(np.ravel(m.coordinates_absolute), 6).tolist()))
