@@ -83,10 +83,15 @@ def interpolation_matrix(
     g_interp = np.zeros((n_frames, len(frames)))
     for ni in range(len(frames) - 1):
         tpts = np.arange(frames[ni], frames[ni + 1] + 1, dtype=int) - 1
-        tpts = tpts[(tpts >= 0) & (tpts < n_frames)]
+        # Ramp over the FULL segment, then TRUNCATE to the frame budget (the
+        # reference assumes n_frames >= frames[-1] and never clips). Filtering
+        # first and ramping over the survivors would COMPRESS the crossfade —
+        # a clipped segment would snap to its end IR early.
+        ratio = np.linspace(0, 1, len(tpts))
+        keep = (tpts >= 0) & (tpts < n_frames)
+        tpts, ratio = tpts[keep], ratio[keep]
         if len(tpts) == 0:
             continue
-        ratio = np.linspace(0, 1, len(tpts))
         g_interp[tpts, ni] = 1 - ratio
         g_interp[tpts, ni + 1] = ratio
     return g_interp

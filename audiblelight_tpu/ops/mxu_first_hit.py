@@ -101,7 +101,13 @@ def build_mxu_face_tables(tris: jnp.ndarray) -> MxuFaceTables:
     f_pad = max(MXU_F_TILE, -(-f // MXU_F_TILE) * MXU_F_TILE)
 
     tris = tris.astype(jnp.float32)
-    center = (jnp.min(tris.reshape(-1, 3), axis=0) + jnp.max(tris.reshape(-1, 3), axis=0)) * 0.5
+    # Exclude PAD_DISTANCE sentinel faces from the centring bounds (see
+    # pallas_kernels.ray_first_hit_pallas — same precision rationale).
+    verts = tris.reshape(-1, 3)
+    real = jnp.all(jnp.abs(verts) < 1.0e8, axis=-1, keepdims=True)
+    vmin = jnp.min(jnp.where(real, verts, jnp.inf), axis=0)
+    vmax = jnp.max(jnp.where(real, verts, -jnp.inf), axis=0)
+    center = jnp.where(jnp.isfinite(vmin + vmax), 0.5 * (vmin + vmax), 0.0)
     a = tris[:, 0] - center
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]

@@ -242,11 +242,16 @@ def ray_first_hit_pallas(
 
     # Centered coordinates bound the f32 cancellation in the precomputed
     # triple-product constants (see _first_hit_big_kernel); the translation is
-    # exact up to f32 rounding and identical for rays and faces.
+    # exact up to f32 rounding and identical for rays and faces. PAD_DISTANCE
+    # sentinel faces (the documented padding contract) are EXCLUDED from the
+    # bounds — a 1e9 sentinel would drag the centre ~5e8 away from the real
+    # geometry and destroy exactly the precision the centring protects.
     tris32 = tris.astype(jnp.float32)
-    center = 0.5 * (
-        jnp.min(tris32.reshape(-1, 3), axis=0) + jnp.max(tris32.reshape(-1, 3), axis=0)
-    )
+    verts = tris32.reshape(-1, 3)
+    real = jnp.all(jnp.abs(verts) < 1.0e8, axis=-1, keepdims=True)
+    vmin = jnp.min(jnp.where(real, verts, jnp.inf), axis=0)
+    vmax = jnp.max(jnp.where(real, verts, -jnp.inf), axis=0)
+    center = jnp.where(jnp.isfinite(vmin + vmax), 0.5 * (vmin + vmax), 0.0)
     o = jnp.pad(origins.astype(jnp.float32) - center, ((0, r_pad - r), (0, 0)))
     d = jnp.pad(dirs.astype(jnp.float32), ((0, r_pad - r), (0, 0)), constant_values=1.0)
 
@@ -692,16 +697,11 @@ def deposit_histogram_pallas(
     erefl_t = per_source(e_refl)
     # Padded rays: occ=1 marks them invisible -> zero deposit
     dist_t = per_source(dist[:, None])
-    occ_t = jnp.moveaxis(
-        jnp.pad(
-            occ.astype(jnp.int32).reshape(cl, n_sources, r),
-            ((0, 0), (0, 0), (0, r_pad - r)),
-            constant_values=1,
-        ),
-        0,
-        0,
-    )  # (C, E, r_pad)
-    occ_t = occ_t.reshape(cl * n_sources, 1, r_pad)
+    occ_t = jnp.pad(
+        occ.astype(jnp.int32).reshape(cl, n_sources, r),
+        ((0, 0), (0, 0), (0, r_pad - r)),
+        constant_values=1,
+    ).reshape(cl * n_sources, 1, r_pad)  # (C*E, 1, r_pad), capsule-major
 
     grid = (cl, n_sources)
     src_spec = lambda k: pl.BlockSpec(

@@ -77,7 +77,6 @@ def stft(
 
 
 @partial(jax.jit, static_argnames=("fft_size", "win_size", "hop_size"))
-@partial(jax.jit, static_argnames=("fft_size", "win_size", "hop_size"))
 def istft_overlap_add_from_parts(
     s_re: jnp.ndarray,
     s_im: jnp.ndarray,

@@ -31,7 +31,6 @@ import numpy as np
 from audiblelight_tpu import config
 from audiblelight_tpu.rir.sh import (
     ambisonic_encoding_gains,
-    binaural_encoding_gains,
     encoding_channels,
 )
 
@@ -198,15 +197,36 @@ def shoebox_rirs(
         else:
             dirs = vec / jnp.maximum(dist[..., None], 1e-9)  # (1, E, chunk, 3)
             if encoding == "binaural":
-                enc = binaural_encoding_gains(dirs[0])  # (E, chunk, 2)
+                # Spherical-head model per image: Brown-Duda shadow magnitude
+                # + Woodworth ITD phase on the full frequency grid — the same
+                # encoding the ray tracer's binaural paths use, so the ISM
+                # stays the tracer's analytic oracle (rir.sh).
+                from audiblelight_tpu.rir.sh import (
+                    HEAD_RADIUS_M,
+                    spherical_head_shadow,
+                    woodworth_itd,
+                )
+
+                u = dirs[0]  # (E, chunk, 3) receiver->source
+                itd = woodworth_itd(u, c=c)  # (E, chunk, 2) seconds
+                freqs_hz = f_idx.astype(jnp.float32) * (sr / float(n_samples))
+                w_ratio = (2.0 * jnp.pi * freqs_hz) * (HEAD_RADIUS_M / (2.0 * c))
+                cos_axes = (u[..., 1], -u[..., 1])
+                ears = []
+                for ear in range(2):  # sequential: bounds the (E, chunk, F) live set
+                    mag = spherical_head_shadow(cos_axes[ear], w_ratio)
+                    ph = (-2.0 * jnp.pi) * freqs_hz * itd[..., ear][..., None]
+                    h = mag * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+                    ears.append(jnp.sum(contrib[0] * h, axis=1))  # (E, F)
+                spec_add = jnp.stack(ears)  # (2, E, F)
             else:
                 # foa / sh{N}: encode at the layout's full order (the ISM has
                 # no direct/indirect split — every image is a discrete path)
                 enc = ambisonic_encoding_gains(dirs[0], 3, encoding)
-            # (E, chunk, F) x (E, chunk, C_out) -> (C_out, E, F)
-            spec_add = jnp.einsum(
-                "ekf,ekc->cef", contrib[0], enc.astype(jnp.complex64)
-            )
+                # (E, chunk, F) x (E, chunk, C_out) -> (C_out, E, F)
+                spec_add = jnp.einsum(
+                    "ekf,ekc->cef", contrib[0], enc.astype(jnp.complex64)
+                )
 
         return acc + spec_add, None
 

@@ -43,7 +43,6 @@ from audiblelight_tpu.ops.pallas_kernels import (
 )
 from audiblelight_tpu.rir.sh import (
     ambisonic_encoding_gains as _ambi_gains,
-    binaural_encoding_gains,
     encoding_channels as _encoding_channels,
     spherical_head_gains,
     woodworth_itd,
@@ -181,6 +180,11 @@ def trace_energy_histogram(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     face_chunk: int = 4096,
+    # KEYWORD-ONLY below: the _lazy_jit wrapper detects the culled accel
+    # structures (star / mesh_tiles) in kwargs to apply the raised scoped-VMEM
+    # ceiling — a positional star would silently compile without it and be
+    # rejected by the 16 MiB default budget.
+    *,
     occlusion: bool = True,
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
@@ -583,10 +587,6 @@ def synthesize_ir_from_histogram(
     return ir.astype(jnp.float32)
 
 
-def _sinc_window_taps(n_taps: int = 64):
-    return np.hanning(2 * n_taps + 1), n_taps
-
-
 def _linear_phase(delay_samp: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     """exp(-2 pi j k delay / N) on the rfft grid, float32-safe at any IR length.
 
@@ -660,49 +660,17 @@ def direct_path_ir(
     accel=None,
     sh_order: int = 3,
 ) -> jnp.ndarray:
-    """Exact direct-path contribution: windowed-sinc impulse at delay d/c with
-    amplitude visibility/(4 pi d), encoded per channel. For ambisonic encodings
-    ("foa"/"sh{N}") the direct path is encoded at `sh_order` (clipped to the
-    layout's order) — the reference rlr config's `direct_sh_order` semantics.
-    Returns (C_out, n_samples)."""
-    listener_pos = jnp.atleast_2d(listener_pos)
-    cl = listener_pos.shape[0]
-
-    vec = source_pos[None] - listener_pos  # (C, 3)
-    d = jnp.linalg.norm(vec, axis=-1)
-    dirs = vec / jnp.maximum(d[:, None], 1e-9)
-    occ = segments_occluded(listener_pos, jnp.broadcast_to(source_pos, (cl, 3)), tris, accel=accel)
-    amp = (~occ) / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
-
-    if encoding == "binaural":
-        return _binaural_direct_ir(dirs[0:1], amp[0:1], d[0:1], n_samples, sr, c)[0]
-    if encoding != "omni":
-        gains = _ambi_gains(dirs, sh_order, encoding)[0]  # single listener
-        amps = amp[0] * gains
-        delays = jnp.broadcast_to(d[0] * sr / c, gains.shape)
-    else:
-        amps = amp
-        delays = d * sr / c
-
-    c_out = amps.shape[0]
-    n_taps = 32
-    window = jnp.asarray(np.hanning(2 * n_taps + 1), dtype=jnp.float32)
-    tap_offsets = jnp.arange(-n_taps, n_taps + 1)
-
-    d_int = jnp.floor(delays).astype(jnp.int32)
-    d_frac = delays - d_int
-    # windowed sinc centred at the fractional delay
-    x = tap_offsets[None, :].astype(jnp.float32) - d_frac[:, None]  # (C_out, taps)
-    taps = jnp.sinc(x) * window[None, :]
-    idx = jnp.clip(d_int[:, None] + tap_offsets[None, :], 0, n_samples - 1)
-    in_range = (d_int[:, None] + tap_offsets[None, :] >= 0) & (
-        d_int[:, None] + tap_offsets[None, :] < n_samples
-    )
-    vals = amps[:, None] * taps * in_range
-
-    ir = jnp.zeros((c_out, n_samples), dtype=jnp.float32)
-    ir = ir.at[jnp.arange(c_out)[:, None], idx].add(vals)
-    return ir
+    """Exact direct-path contribution for ONE source: windowed-sinc impulse at
+    delay d/c with amplitude visibility/(4 pi d), encoded per channel. For
+    ambisonic encodings ("foa"/"sh{N}") the direct path is encoded at
+    `sh_order` (clipped to the layout's order) — the reference rlr config's
+    `direct_sh_order` semantics; binaural uses the spherical-head ITD +
+    shadow. Thin wrapper over the batched direct_paths_ir so the
+    occlusion/sinc/encode math exists ONCE. Returns (C_out, n_samples)."""
+    return direct_paths_ir(
+        tris, jnp.atleast_2d(source_pos), listener_pos, n_samples,
+        sr=sr, c=c, encoding=encoding, accel=accel, sh_order=sh_order,
+    )[0]
 
 
 @partial(jax.jit, static_argnames=("n_samples", "sr", "encoding", "sh_order"))
@@ -965,6 +933,11 @@ def trace_rirs(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     face_chunk: int = 4096,
+    # KEYWORD-ONLY below: the _lazy_jit wrapper detects the culled accel
+    # structures (star / mesh_tiles) in kwargs to apply the raised scoped-VMEM
+    # ceiling — a positional star would silently compile without it and be
+    # rejected by the 16 MiB default budget.
+    *,
     occlusion: bool = True,
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
@@ -1046,6 +1019,11 @@ def trace_energy_histogram_multi(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     face_chunk: int = 4096,
+    # KEYWORD-ONLY below: the _lazy_jit wrapper detects the culled accel
+    # structures (star / mesh_tiles) in kwargs to apply the raised scoped-VMEM
+    # ceiling — a positional star would silently compile without it and be
+    # rejected by the 16 MiB default budget.
+    *,
     occlusion: bool = True,
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,
@@ -1309,6 +1287,11 @@ def trace_rirs_multi(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     face_chunk: int = 4096,
+    # KEYWORD-ONLY below: the _lazy_jit wrapper detects the culled accel
+    # structures (star / mesh_tiles) in kwargs to apply the raised scoped-VMEM
+    # ceiling — a positional star would silently compile without it and be
+    # rejected by the 16 MiB default budget.
+    *,
     occlusion: bool = True,
     tri_normals: jnp.ndarray = None,
     face_transmission: jnp.ndarray = None,

@@ -163,15 +163,28 @@ def spherical_head_gains(
     freqs = jnp.asarray(freqs, dtype=jnp.float32)
     w_ratio = (2.0 * jnp.pi * freqs) * (head_radius / (2.0 * c))  # w / (2 w0)
     y = jnp.clip(dirs[..., 1], -1.0, 1.0)
+    return jnp.stack(
+        [spherical_head_shadow(y, w_ratio), spherical_head_shadow(-y, w_ratio)],
+        axis=-2,
+    )
 
-    def ear(cos_th):
-        theta = jnp.arccos(cos_th)
-        alpha = 1.05 + 0.95 * jnp.cos(theta * (180.0 / 150.0))
-        num = 1.0 + (alpha[..., None] * w_ratio) ** 2
-        den = 1.0 + w_ratio**2
-        return jnp.sqrt(num / den)
 
-    return jnp.stack([ear(y), ear(-y)], axis=-2)
+def spherical_head_shadow(cos_to_ear: jnp.ndarray, w_ratio: jnp.ndarray) -> jnp.ndarray:
+    """Single-ear Brown-Duda shadow magnitude (see spherical_head_gains).
+
+    Arguments:
+        cos_to_ear: (...,) cosine of the angle between the arrival direction
+            and the ear axis.
+        w_ratio: (F,) omega / (2 omega0) = 2 pi f a / (2 c).
+
+    Returns:
+        (..., F) magnitudes.
+    """
+    theta = jnp.arccos(jnp.clip(cos_to_ear, -1.0, 1.0))
+    alpha = 1.05 + 0.95 * jnp.cos(theta * (180.0 / 150.0))
+    num = 1.0 + (alpha[..., None] * w_ratio) ** 2
+    den = 1.0 + w_ratio**2
+    return jnp.sqrt(num / den)
 
 
 def woodworth_itd(

@@ -142,13 +142,30 @@ def test_foa_encoding_directionality():
 
 
 def test_binaural_left_right():
+    """Spherical-head binaural: lateralisation via head shadow (strong at high
+    frequency, unity at low — the physical ILD, not a broadband cardioid) and
+    a Woodworth ITD between the ears."""
     room = [8.0, 8.0, 8.0]
     mic = [[4.0, 4.0, 4.0]]
     src = [[4.0, 6.0, 4.0]]  # to the left
     irs = render(room, src, mic, absorption=0.999999, max_order=1, encoding="binaural")
     assert irs.shape[0] == 2
-    left, right = np.abs(irs[0, 0]).max(), np.abs(irs[1, 0]).max()
-    assert left > 5 * right  # strongly lateralised
+    left, right = irs[0, 0], irs[1, 0]
+    # Broadband peak ILD: modest but lateralised to the left
+    assert np.abs(left).max() > 1.3 * np.abs(right).max()
+    # HF shadow: left/right energy ratio large above 6 kHz, near unity at LF
+    sr = 44100
+    spec_l = np.abs(np.fft.rfft(left))
+    spec_r = np.abs(np.fft.rfft(right))
+    freqs = np.fft.rfftfreq(len(left), 1 / sr)
+    hf = freqs > 6000
+    lf = (freqs > 50) & (freqs < 400)
+    assert spec_l[hf].sum() > 3.0 * spec_r[hf].sum()
+    assert 0.5 < spec_l[lf].sum() / spec_r[lf].sum() < 2.0
+    # ITD: the left ear leads
+    onset_l = int(np.argmax(np.abs(left) > 0.25 * np.abs(left).max()))
+    onset_r = int(np.argmax(np.abs(right) > 0.25 * np.abs(right).max()))
+    assert onset_r > onset_l
 
 
 def test_multiband_absorption_shapes_spectrum():
