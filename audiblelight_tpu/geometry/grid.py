@@ -194,7 +194,11 @@ def _setup_dda(accel: GridAccel, origins, dirs):
         jnp.asarray(accel.dims, dtype=jnp.int32)[None] - 1,
     )
 
-    step = jnp.where(dirs >= 0, 1, -1).astype(jnp.int32)
+    # Step sign must come from safe_dir, not the raw direction: a component in
+    # (-_EPS, 0) is replaced by +_EPS above, and a mismatched step/-inv_d pair
+    # yields a NEGATIVE t_max on that axis — the march takes one spurious
+    # backward cell step and tests the wrong cell row.
+    step = jnp.where(safe_dir >= 0, 1, -1).astype(jnp.int32)
     # t at which the ray crosses the next boundary on each axis
     next_bound = accel.gmin[None] + (cell + (step > 0)).astype(jnp.float32) * accel.h[None]
     t_max = (next_bound - origins) * inv_d

@@ -129,8 +129,13 @@ class TriMesh:
         adj = coo_matrix(
             (np.ones(len(ii)), (ii, jj)), shape=(len(self.vertices),) * 2
         )
-        n_comp, _ = connected_components(adj, directed=False)
-        if n_comp > 1:
+        n_comp, labels = connected_components(adj, directed=False)
+        # Count components among REFERENCED vertices only: a stray unreferenced
+        # vertex (common in scan exports) is a singleton component and would
+        # otherwise misclassify every convex room as nonconvex forever.
+        referenced = np.zeros(len(self.vertices), dtype=bool)
+        referenced[f.ravel()] = True
+        if len(np.unique(labels[referenced])) > 1:
             self._is_convex = False
             return False
         edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
@@ -400,7 +405,11 @@ def _load_obj(path: Path) -> tuple[np.ndarray, np.ndarray]:
             if line.startswith("v "):
                 verts.append([float(x) for x in line.split()[1:4]])
             elif line.startswith("f "):
-                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                # OBJ indices are 1-based; NEGATIVE indices are relative to
+                # the vertices declared so far (several exporters emit them —
+                # int(tok)-1 would silently wrap to the wrong vertex)
+                raw = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                idx = [r - 1 if r > 0 else len(verts) + r for r in raw]
                 # fan-triangulate polygons
                 for i in range(1, len(idx) - 1):
                     faces.append([idx[0], idx[i], idx[i + 1]])
@@ -418,6 +427,7 @@ def _load_ply(path: Path) -> tuple[np.ndarray, np.ndarray]:
         n_verts = n_faces = 0
         fmt = "ascii"
         props = []
+        face_types = ("uchar", "int")  # PLY's conventional face list layout
         current = None
         for line in header_lines:
             toks = line.split()
@@ -433,6 +443,8 @@ def _load_ply(path: Path) -> tuple[np.ndarray, np.ndarray]:
                     n_faces = int(toks[2])
             elif toks[0] == "property" and current == "vertex":
                 props.append((toks[-1], toks[1]))
+            elif toks[0] == "property" and current == "face" and toks[1] == "list":
+                face_types = (toks[2], toks[3])
 
         if fmt == "ascii":
             verts = []
@@ -447,7 +459,14 @@ def _load_ply(path: Path) -> tuple[np.ndarray, np.ndarray]:
                     faces.append([idx[0], idx[i], idx[i + 1]])
             return np.asarray(verts), np.asarray(faces, dtype=np.int32)
 
-        # binary little endian: support common float/uchar layouts
+        if fmt != "binary_little_endian":
+            # Decoding big-endian with little-endian dtypes silently produces
+            # byte-swapped junk geometry — refuse loudly instead.
+            raise ValueError(
+                f"Unsupported PLY format '{fmt}' in {path} "
+                "(ascii and binary_little_endian are supported)"
+            )
+        # binary little endian; honour the declared property types
         type_map = {
             "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
             "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
@@ -457,10 +476,12 @@ def _load_ply(path: Path) -> tuple[np.ndarray, np.ndarray]:
         dtype = np.dtype([(nm, type_map[tp]) for nm, tp in props])
         vdata = np.frombuffer(f.read(dtype.itemsize * n_verts), dtype=dtype)
         verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], axis=1).astype(np.float64)
+        cnt_dt = np.dtype(type_map[face_types[0]])
+        idx_dt = np.dtype(type_map[face_types[1]])
         faces = []
         for _ in range(n_faces):
-            cnt = np.frombuffer(f.read(1), dtype=np.uint8)[0]
-            idx = np.frombuffer(f.read(4 * cnt), dtype="<i4")
+            cnt = int(np.frombuffer(f.read(cnt_dt.itemsize), dtype=cnt_dt)[0])
+            idx = np.frombuffer(f.read(idx_dt.itemsize * cnt), dtype=idx_dt)
             for i in range(1, cnt - 1):
                 faces.append([idx[0], idx[i], idx[i + 1]])
         return verts, np.asarray(faces, dtype=np.int32)

@@ -40,6 +40,11 @@ _PLAN_FIELDS = [
 ]
 
 
+# Compiled shard_map program caches (see shard_render / shard_trace_rirs)
+_SHARD_RENDER_PROGRAMS: dict = {}
+_SHARD_TRACE_PROGRAMS: dict = {}
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -249,22 +254,35 @@ def shard_render(batched: dict, mesh: Mesh, normalize: bool = False) -> jnp.ndar
     in_specs = tuple(P(("scene", "chan")) for _ in _PLAN_FIELDS)
     out_specs = P(("scene", "chan"))
 
-    def _render_local(*args):
-        out = jax.vmap(lambda *a: render_scene_arrays(*a, n_scene_samples=n_t))(*args)
-        if normalize:
-            # Cross-chip all-reduce of the batch peak over both mesh axes.
-            global_peak = jax.lax.pmax(jnp.max(jnp.abs(out)), ("scene", "chan"))
-            out = out / jnp.maximum(global_peak, 1e-9)
-        return out
+    # Program cache: rebuilding jit(shard_map(closure)) per call would retrace
+    # and recompile every invocation (the jit cache hangs off the throwaway
+    # wrapper object). One closure per (mesh, n_t, normalize); jit's own cache
+    # handles argument shapes. Bounded FIFO; entries keep their mesh alive so
+    # id() keys cannot be recycled while cached.
+    cache_key = (id(mesh), int(n_t), bool(normalize))
+    fn = _SHARD_RENDER_PROGRAMS.get(cache_key)
+    if fn is None:
+        def _render_local(*args):
+            out = jax.vmap(lambda *a: render_scene_arrays(*a, n_scene_samples=n_t))(*args)
+            if normalize:
+                # Cross-chip all-reduce of the batch peak over both mesh axes.
+                global_peak = jax.lax.pmax(jnp.max(jnp.abs(out)), ("scene", "chan"))
+                out = out / jnp.maximum(global_peak, 1e-9)
+            return out
 
-    # check_vma=False: the placement loop inits its accumulator from a constant,
-    # which the replication checker would flag against the device-varying adds.
-    fn = jax.jit(
-        jax.shard_map(
-            _render_local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
+        # check_vma=False: the placement loop inits its accumulator from a
+        # constant, which the replication checker would flag against the
+        # device-varying adds.
+        fn = jax.jit(
+            jax.shard_map(
+                _render_local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
         )
-    )
+        fn._mesh = mesh  # pin: the cache key is id(mesh)
+        _SHARD_RENDER_PROGRAMS[cache_key] = fn
+        while len(_SHARD_RENDER_PROGRAMS) > 8:
+            _SHARD_RENDER_PROGRAMS.pop(next(iter(_SHARD_RENDER_PROGRAMS)))
     args = [batched[f] for f in _PLAN_FIELDS]
     return fn(*args)
 
@@ -304,30 +322,53 @@ def shard_trace_rirs(
     tn = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
     tri_normals = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-12)
 
-    def _trace_local(src_local, normals):
-        shard_key = jax.random.fold_in(key, jax.lax.axis_index("scene"))
-        return trace_rirs_multi(
-            shard_key,
-            tris,
-            face_absorption,
-            face_scattering,
-            src_local,
-            listener_pos,
-            n_samples=n_samples,
-            tri_normals=normals,
-            **trace_kwargs,
-        )
-
-    fn = jax.jit(
-        jax.shard_map(
-            _trace_local,
-            mesh=mesh,
-            in_specs=(P("scene"), P()),
-            out_specs=P(None, "scene", None),
-            check_vma=False,
-        )
+    # Cached program: everything array-valued rides as a shard_map ARGUMENT
+    # (replicated P() specs) instead of a closure constant, so one compiled
+    # program serves every (key, geometry, materials, listener) of the same
+    # shapes — per-call closures retraced and recompiled every invocation.
+    static_kwargs = tuple(sorted(
+        (k, v) for k, v in trace_kwargs.items()
+        if not hasattr(v, "shape") and not isinstance(v, (list, dict))
+    ))
+    static_keys = {k for k, _ in static_kwargs}
+    array_kwargs = {k: v for k, v in trace_kwargs.items() if k not in static_keys}
+    cache_key = (
+        id(mesh), int(n_samples), static_kwargs,
+        tuple(sorted((k, id(v)) for k, v in array_kwargs.items())),
     )
-    return fn(source_positions, tri_normals)
+    fn = _SHARD_TRACE_PROGRAMS.get(cache_key)
+    if fn is None:
+        def _trace_local(k_in, tris_in, absorb_in, scatter_in, src_local, lis_in, normals):
+            shard_key = jax.random.fold_in(k_in, jax.lax.axis_index("scene"))
+            return trace_rirs_multi(
+                shard_key,
+                tris_in,
+                absorb_in,
+                scatter_in,
+                src_local,
+                lis_in,
+                n_samples=n_samples,
+                tri_normals=normals,
+                **trace_kwargs,
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                _trace_local,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P("scene"), P(), P()),
+                out_specs=P(None, "scene", None),
+                check_vma=False,
+            )
+        )
+        fn._pins = (mesh, array_kwargs)  # keep id()-keyed objects alive
+        _SHARD_TRACE_PROGRAMS[cache_key] = fn
+        while len(_SHARD_TRACE_PROGRAMS) > 8:
+            _SHARD_TRACE_PROGRAMS.pop(next(iter(_SHARD_TRACE_PROGRAMS)))
+    return fn(
+        key, tris, face_absorption, face_scattering, source_positions,
+        listener_pos, tri_normals,
+    )
 
 
 

@@ -190,6 +190,12 @@ class FusedSceneRenderer:
         self._n_faces = int(ws.mesh.faces.shape[0])
         self._occl = occl
         self._shared_vis = bool(cfg.shared_visibility)
+        # Acoustic identity beyond the mesh object: the engine config,
+        # material and sample rate are all baked into the compiled program as
+        # constants — compatible() must reject scenes that vary any of them.
+        self._cfg_dict = dict(cfg.to_dict())
+        self._material = getattr(ws, "material", None)
+        self._sr = sr
         self._buckets = (
             plan.static_irs.shape[0],
             plan.moving_irs.shape[0],
@@ -252,9 +258,10 @@ class FusedSceneRenderer:
         self._render = jax.jit(render)
 
     def compatible(self, scene, plan: ScenePlan) -> bool:
-        """Can `scene` render through this compiled program? Same mesh object
-        (geometry/materials are captured constants), same mic rig + bucket
-        shapes, and a source count within the bucket."""
+        """Can `scene` render through this compiled program? Same mesh object,
+        material, engine config and sample rate (all captured as compiled
+        constants), same mic rig + bucket shapes, and a source count within
+        the bucket."""
         ws = scene.state
         if len(ws.microphones) != 1 or not hasattr(ws, "acoustic_tris_device"):
             return False
@@ -271,6 +278,10 @@ class FusedSceneRenderer:
             and buckets == self._buckets
             and len(ws._emitter_positions()) <= self._bucket
             and (not self._occl or ws._rain_mode() == "face")
+            # captured-constant acoustics must match the template scene
+            and int(ws.sample_rate) == self._sr
+            and getattr(ws, "material", None) == self._material
+            and dict(ws.cfg.to_dict()) == self._cfg_dict
         )
 
     def scene_inputs(self, scene, device: bool = True):
@@ -329,8 +340,17 @@ class FusedSceneRenderer:
         # dispatch that the pipeline hides. (Computing it in-program instead
         # was measured round-trip-neutral but recomputed the table per scene
         # — and per vmapped batch LANE — even for repeated positions.)
+        # The query points replicate trace_irs_device EXACTLY (shared: mean of
+        # the physical capsule positions) so the two paths agree and share the
+        # position-keyed cache.
         if self._occl:
-            pts = caps.mean(axis=0, keepdims=True) if self._shared_vis else caps
+            if self._shared_vis:
+                caps_abs = np.atleast_2d(
+                    np.asarray(utils.coerce2d(mic.coordinates_absolute), np.float64)
+                )
+                pts = caps_abs.mean(axis=0, keepdims=True)
+            else:
+                pts = caps
             face_occ = ws.rain_occlusion_for(pts)
         else:
             face_occ = jnp.zeros((1, ws.acoustic_tris_device.shape[0]), bool)
@@ -562,7 +582,12 @@ def render_scenes_pipelined(
             while len(pending) >= max_in_flight:
                 _finish(pending.pop(0))
 
-    renderers: dict = {}  # one fused program per mesh seen
+    # One fused program per mesh seen, LRU-bounded: each renderer pins its
+    # template worldstate (device triangle/rain/IR caches + compiled
+    # programs), so an unbounded dict would hold every room of a long
+    # dataset run live in HBM/host RAM.
+    renderers: OrderedDict = OrderedDict()
+    max_renderers = 4
     group: list = []  # (scene, plan) pairs awaiting a full micro-batch
 
     def _flush_group(renderer):
@@ -588,11 +613,17 @@ def render_scenes_pipelined(
                 # the dev tunnel). Per-scene INPUTS do defer (tiny arrays,
                 # latency-dominated — see render_batch).
                 plan = build_scene_plan(scene, trace=False, **(plan_kwargs or {}))
+                # Key by the mesh OBJECT (kept alive by the renderer itself,
+                # so the id cannot be recycled while the entry lives)
                 mesh_key = id(getattr(scene.state, "mesh", scene.state))
                 renderer = renderers.get(mesh_key)
-                if renderer is None:
+                if renderer is not None:
+                    renderers.move_to_end(mesh_key)
+                else:
                     try:
                         renderer = renderers[mesh_key] = FusedSceneRenderer(scene, plan)
+                        while len(renderers) > max_renderers:
+                            renderers.popitem(last=False)
                     except ValueError:
                         renderer = None
                 if renderer is not None and renderer.compatible(scene, plan):
