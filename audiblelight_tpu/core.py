@@ -993,7 +993,11 @@ class Scene:
                 self.state._add_emitters_without_validating(trajectory_current, alias)
                 emitters = self.state.get_emitters(alias)
                 if len(emitters) != len(trajectory_current):
-                    self.clear_event(alias)
+                    # The event is not registered yet (self.events[alias] is
+                    # set below), so clear the ORPHANED EMITTERS directly —
+                    # clear_event would raise an unrelated KeyError and leave
+                    # them corrupting later IR slicing.
+                    self.state.clear_emitter(alias)
                     raise ValueError(
                         f"Did not add expected number of emitters into the WorldState "
                         f"(expected {len(trajectory_current)}, got {len(emitters)})"

@@ -279,7 +279,14 @@ class Event:
         self, ignore_cache: Optional[bool] = False, normalize: Optional[bool] = True
     ) -> np.ndarray:
         """Load (and cache) the event audio: slice, resample, augment, normalise."""
-        if self.is_audio_loaded and not ignore_cache:
+        if (
+            self.is_audio_loaded
+            and not ignore_cache
+            and getattr(self, "_audio_normalized", None) == bool(normalize)
+        ):
+            # The cache is only valid for the SAME normalize flag: a raw
+            # (normalize=False) inspection must not poison the render path's
+            # normalized load, whose dry-stem levels scale with the peak.
             return self.audio
 
         audio_raw, _ = load_audio(
@@ -299,6 +306,7 @@ class Event:
             audio_out = audio_out / np.max(np.abs(audio_out) + utils.tiny(audio_out))
 
         self.audio = audio_out
+        self._audio_normalized = bool(normalize)
         return self.audio
 
     def load_image(self, ignore_cache: Optional[bool] = False) -> np.ndarray:

@@ -380,6 +380,12 @@ def build_scene_plan(
 
     es = max_static if max_static is not None else bucket(len(statics))
     em = max_moving if max_moving is not None else bucket(len(movings), default=1)
+    if len(statics) > es or len(movings) > em:
+        utils.logger.warning(
+            f"Scene exceeds the plan's event buckets: keeping {es}/{len(statics)} "
+            f"static and {em}/{len(movings)} moving events — raise max_static/"
+            "max_moving (the pipeline's fallback path handles this automatically)"
+        )
     max_len = max([e["length"] for e in statics + movings] or [sr])
     if pad_audio_seconds is not None:
         s = round(pad_audio_seconds * sr)
@@ -447,16 +453,28 @@ def build_scene_plan(
     # is ~6M samples; the upcast+downcast measured ~190 ms/scene of pure copy
     # on the production pipeline) for rounding noise ~1e-7 of a -65 dB floor.
     ambience = np.zeros((c_total, t), dtype=np.float32)
+    # The bed goes into EVERY microphone's channel span (the classic path adds
+    # the same ambience to each mic's buffer, synthesize.py
+    # generate_scene_audio_from_events); writing only rows [:channels] left
+    # every mic after the first silent.
+    mic_spans = []
+    off = 0
+    for m in scene.state.microphones.values():
+        n_ch = int(m.n_channels)
+        mic_spans.append((off, off + n_ch))
+        off += n_ch
     for i_amb, amb in enumerate(scene.ambience.values()):
         noise = amb.load_ambience(normalize=True)
         scale = np.float32(
             10 ** (amb.ref_db / 20.0) / (np.mean(np.abs(noise)) + utils.tiny(noise))
         )
-        part = ambience[: noise.shape[0]]
-        if i_amb == 0:
-            np.multiply(noise, scale, out=part, dtype=np.float32)
-        else:
-            part += noise.astype(np.float32) * scale
+        for a, b in mic_spans:
+            rows = min(noise.shape[0], b - a)
+            part = ambience[a : a + rows]
+            if i_amb == 0:
+                np.multiply(noise[:rows], scale, out=part, dtype=np.float32)
+            else:
+                part += noise[:rows].astype(np.float32) * scale
 
     if on_device and trace:
         static_irs = pack_irs_device(

@@ -251,7 +251,7 @@ def compute_dry_audio(event: Event, irs: np.ndarray, event_scale: float, mic_ali
         return
     if event.ref_ir_channel is not None and event.direct_path_time_ms is not None:
         ref_channel = event.ref_ir_channel
-        if ref_channel > irs.shape[0]:
+        if ref_channel >= irs.shape[0]:
             raise ValueError(
                 f"Reference channel index out of range for IRs with {irs.shape[0]} channels"
             )
@@ -561,7 +561,8 @@ def generate_scene_video_from_events(
 
     fps = fps if fps is not None else scene.video_fps
     width, height = (640, 320)  # equirect frame size (kept light for GIF output)
-    n_frames = int(round(scene.duration * fps))
+    n_frames = max(1, int(round(scene.duration * fps)))  # never zero frames:
+    # an empty frame list would write truncated containers then crash on [0]
 
     mic_alias = list(scene.state.microphones.keys())[0]
 
