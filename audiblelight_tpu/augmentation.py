@@ -342,6 +342,12 @@ class Clipping(EventAugmentation):
 
     def __init__(self, sample_rate=config.SAMPLE_RATE, threshold_db=None):
         super().__init__(sample_rate)
+        # Reference-parity note (reference augmentation.py:858): the reference
+        # samples stats.uniform(MIN, abs(MAX)) whose support is [-10, -9] dB —
+        # NOT the documented [-10, -1] — because the loc+scale trick only
+        # covers the range when MIN == 2*MAX. The sampling distribution is
+        # part of the dataset-generation contract, so the quirk is replicated
+        # verbatim rather than "fixed" into a different random stream.
         self.threshold_db = -utils.sanitise_positive_number(
             abs(
                 self.sample_value(

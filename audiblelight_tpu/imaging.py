@@ -110,8 +110,11 @@ def fibonacci(
 def get_field(sh_order: Optional[custom_types.Numeric] = config.AIMG_SH_ORDER) -> np.ndarray:
     """Full-sphere Fibonacci field at the given SH order: (3, n_px) coordinates."""
     r = fibonacci(sh_order)
-    # Trim the extreme polar border to avoid interpolation edge artifacts
-    r = r[:, np.abs(r[2, :]) < np.sin(np.deg2rad(90))]
+    # NOTE: no polar-border trim. The row count must stay exactly
+    # 4*(sh_order+1)^2: generate_acoustic_image_json rebuilds the tesselation
+    # from that inversion, so any filtering here would silently desynchronise
+    # the acoustic-image rows from their directions. (An earlier
+    # |z| < sin(90 deg) trim was a no-op for the same reason.)
     return r
 
 

@@ -169,7 +169,8 @@ def wav_write(
     with open(path, "wb") as f:
         data_size = payload.nbytes
         f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + data_size))
+        # the RIFF size includes the data chunk's odd-length pad byte
+        f.write(struct.pack("<I", 36 + data_size + (data_size & 1)))
         f.write(b"WAVE")
         f.write(b"fmt ")
         f.write(struct.pack("<IHHIIHH", 16, fmt_tag, channels, sample_rate, byte_rate, block_align, bits))

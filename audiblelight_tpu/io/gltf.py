@@ -270,8 +270,15 @@ def load_gltf(
 
     # Walk the node hierarchy of the default scene, accumulating transforms.
     scene_idx = gltf.get("scene", 0)
-    scenes = gltf.get("scenes", [{"nodes": list(range(len(gltf.get("nodes", []))))}])
-    root_nodes = scenes[scene_idx].get("nodes", []) if scenes else []
+    if "scenes" in gltf:
+        scenes = gltf["scenes"]
+        root_nodes = scenes[scene_idx].get("nodes", []) if scenes else []
+    else:
+        # No scene list: roots are the nodes NOT referenced as children —
+        # visiting every node would load child meshes twice (once through the
+        # parent transform, once untransformed at the origin).
+        children = {c for n in gltf.get("nodes", []) for c in n.get("children", [])}
+        root_nodes = [i for i in range(len(gltf.get("nodes", []))) if i not in children]
     nodes = gltf.get("nodes", [])
 
     def visit(node_idx: int, parent_tf: np.ndarray):

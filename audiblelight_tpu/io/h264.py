@@ -42,7 +42,11 @@ def _load():
     if _LIB_FAILED:
         return None
     try:
-        if not _SO.is_file() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        try:
+            stale = not _SO.is_file() or _SO.stat().st_mtime < _SRC.stat().st_mtime
+        except OSError:  # source missing (binary-only deployment): use the .so
+            stale = not _SO.is_file()
+        if stale:
             try:
                 subprocess.run(_BUILD, check=True, capture_output=True, timeout=120)
             except Exception as build_exc:

@@ -81,7 +81,10 @@ class Emitter:
             coordinates_absolute=utils.coerce_nested_inputs(self.coordinates_absolute),
             has_direct_paths=dict(self.has_direct_paths),
         )
-        if self.sofa_idx:
+        # `is not None`, NOT truthiness: index 0 is a valid SOFA source (the
+        # reference's truthiness check drops it from serialisation,
+        # reference worldstate.py:248 — a round-trip bug deliberately fixed)
+        if self.sofa_idx is not None:
             out["sofa_idx"] = self.sofa_idx
         return out
 

@@ -486,10 +486,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
 
     def _setup_audio_context(self) -> None:
         """(Re)build the context handle for the current configuration."""
-        if self.ctx is None:
-            self.ctx = _EngineContext(self.cfg)
-        else:
-            self.ctx = _EngineContext(self.cfg)
+        self.ctx = _EngineContext(self.cfg)
         self.ctx.object_count = 1  # the mesh
 
     def _update(self) -> None:
@@ -743,8 +740,12 @@ class WorldStateRLR(PlacementMixin, WorldState):
         # followed by a compiled-plan build must not trace twice.
         cache_key = (
             # Geometry identity: a mutated/replaced mesh must never serve IRs
-            # traced against the old one (same defence as the accel caches)
+            # traced against the old one (same defence as the accel caches) —
+            # and the engine config + material are part of the physics, so
+            # mutating cfg between simulate() calls must retrace too.
             self._mesh_fingerprint(),
+            tuple(sorted((k, str(v)) for k, v in self.cfg.to_dict().items())),
+            str(getattr(self, "material", None)),
             tuple(np.round(self._emitter_positions().ravel(), 6).tolist()),
             tuple(
                 (a, m.name, tuple(np.round(np.ravel(m.coordinates_absolute), 6).tolist()))

@@ -119,8 +119,12 @@ class WorldStateSOFA(WorldState):
         return self._source_positions
 
     def get_listener_positions(self) -> np.ndarray:
-        with self.sofa() as f:
-            return f.listener_positions
+        # Cached like get_source_positions: _update() runs per add_emitter,
+        # and re-opening the HDF5 file per call cost O(emitters) file reads.
+        if getattr(self, "_listener_positions", None) is None:
+            with self.sofa() as f:
+                self._listener_positions = f.listener_positions
+        return self._listener_positions
 
     def get_room_min_max(self) -> tuple[np.ndarray, np.ndarray]:
         all_xyz = np.vstack([self.get_source_positions(), self.get_listener_positions()])
