@@ -95,6 +95,20 @@ int build_node(Mesh& m, std::vector<int32_t>& idx, int first, int count) {
     return node_id;
 }
 
+// NaN-safe slab reciprocal: a zero direction component with an origin
+// exactly ON a box plane makes 0 * inf = NaN, and min/max propagate it
+// unpredictably (a blocking subtree can be skipped). Replacing a zero
+// component with a tiny SIGNED value keeps the slab test finite and
+// conservative (the same fix as the Python grid kernels' safe_dir).
+inline Vec3 safe_inv(Vec3 d) {
+    const float tiny = 1e-30f;
+    auto inv = [&](float c) {
+        if (c > tiny || c < -tiny) return 1.0f / c;
+        return std::copysign(1.0f / tiny, c == 0.0f ? 1.0f : c);
+    };
+    return {inv(d.x), inv(d.y), inv(d.z)};
+}
+
 inline bool aabb_hit(const AABB& b, Vec3 o, Vec3 inv_d, float t_max) {
     float tx1 = (b.lo.x - o.x) * inv_d.x, tx2 = (b.hi.x - o.x) * inv_d.x;
     float ty1 = (b.lo.y - o.y) * inv_d.y, ty2 = (b.hi.y - o.y) * inv_d.y;
@@ -123,7 +137,7 @@ inline float tri_hit(const Mesh& m, int32_t t, Vec3 o, Vec3 d) {
 
 // First hit along a ray (returns t and triangle id)
 void ray_first_hit(const Mesh& m, Vec3 o, Vec3 d, float* t_out, int32_t* id_out) {
-    Vec3 inv_d = {1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+    Vec3 inv_d = safe_inv(d);
     float best = std::numeric_limits<float>::infinity();
     int32_t best_id = -1;
     int stack[64];
@@ -148,7 +162,7 @@ void ray_first_hit(const Mesh& m, Vec3 o, Vec3 d, float* t_out, int32_t* id_out)
 
 // Count crossings along a fixed parity direction
 int crossing_count(const Mesh& m, Vec3 o, Vec3 d) {
-    Vec3 inv_d = {1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+    Vec3 inv_d = safe_inv(d);
     int count = 0;
     int stack[64];
     int sp = 0;
@@ -169,7 +183,7 @@ int crossing_count(const Mesh& m, Vec3 o, Vec3 d) {
 
 // Any hit with t in (margin, max_t - margin)? (segment occlusion)
 bool segment_blocked(const Mesh& m, Vec3 o, Vec3 d, float max_t, float margin) {
-    Vec3 inv_d = {1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+    Vec3 inv_d = safe_inv(d);
     int stack[64];
     int sp = 0;
     stack[sp++] = 0;

@@ -233,10 +233,19 @@ static int frame_to_rgb(Reader *rd, uint8_t *out) {
         uint8_t *dst = out + (size_t)y * rd->w * 3;
         for (int x = 0; x < rd->w; x++) {
             int Y = py[x], U = pu[x / 2] - 128, V = pv[x / 2] - 128;
+            /* Range-matched BT.601 coefficients: full-range chroma spans
+             * +-128 directly (1.402/0.344/0.714/1.772 scaled by 256), while
+             * limited-range needs the 255/224 expansion (409/208/100/516
+             * scaled by 298/256 luma). Mixing full luma with limited chroma
+             * oversaturated full-range (MJPEG) frames by ~14%%. */
             int c = full ? Y * 256 : (Y - 16) * 298;
-            dst[3 * x] = clamp8(c + 409 * V + 128 >> 8);
-            dst[3 * x + 1] = clamp8(c - 100 * U - 208 * V + 128 >> 8);
-            dst[3 * x + 2] = clamp8(c + 516 * U + 128 >> 8);
+            int rv = full ? 359 * V : 409 * V;
+            int gu = full ? 88 * U : 100 * U;
+            int gv = full ? 183 * V : 208 * V;
+            int bu = full ? 454 * U : 516 * U;
+            dst[3 * x] = clamp8(c + rv + 128 >> 8);
+            dst[3 * x + 1] = clamp8(c - gu - gv + 128 >> 8);
+            dst[3 * x + 2] = clamp8(c + bu + 128 >> 8);
         }
     }
     return 0;

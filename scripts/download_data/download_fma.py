@@ -35,6 +35,9 @@ CORRUPT_FMA_TRACKS = {"098565", "098567", "098569", "099134", "108925", "133297"
 SKIP_GENRES = {"Electronic", "Experimental", "Instrumental"}
 
 
+_FMA_SUBSET_ORDER = {"small": 0, "medium": 1, "large": 2, "full": 3}
+
+
 def fetch_fma(dataset_home: Path, subset: str = "small") -> None:
     """Download + extract fma_<subset>.zip and fma_metadata.zip (resumable)."""
     if subset not in SUBSETS:
@@ -74,7 +77,14 @@ def organize_fma(
             continue
         sel = tracks[
             (tracks["track", "genre_top"] == genre)
-            & (tracks["set", "subset"] == subset)
+            & (
+                # FMA subsets NEST: each track is labelled with the smallest
+                # subset containing it, so "medium" must include "small" etc.
+                tracks["set", "subset"].map(
+                    lambda x: _FMA_SUBSET_ORDER.get(str(x), 99)
+                )
+                <= _FMA_SUBSET_ORDER.get(str(subset), 0)
+            )
         ][:ntracks_genre]
         for track_id in sel.index:
             tid = f"{int(track_id):06}"

@@ -58,6 +58,11 @@ def main():
     args = parser.parse_args()
 
     out = Path(args.path)
+    if args.archive is None and args.drive_id is None:
+        raise SystemExit(
+            "Pass --archive <file> (pre-downloaded) or --drive-id <id> "
+            "(the waypoints archive is licence-gated; see download_gibson.py)"
+        )
     archive = Path(args.archive) if args.archive else fetch_waypoints(args.drive_id, out)
     n = extract_waypoints(archive, out)
     logger.info(f"Laid out {n} waypoint files under {out / 'waypoints/gibson'}")

@@ -129,9 +129,6 @@ def main():
     convert_npy_dir(Path(args.input_dir), Path(args.output), args.sample_rate, args.name)
 
 
-if __name__ == "__main__":
-    main()
-
 
 # ---------------------------------------------------------------------------
 # TAU-SRIR DB -> SOFA (the reference pipeline's mat-file half)
@@ -303,3 +300,7 @@ def convert_tau_to_sofa(
         )
         written.append(path)
     return written
+
+
+if __name__ == "__main__":
+    main()

@@ -40,13 +40,25 @@ def main():
     wavs = sorted(in_root.rglob("*.wav"))
     mix_idx = 1
     for wav in wavs:
-        csv_candidates = sorted(wav.parent.glob("*.csv"))
-        if not csv_candidates:
-            logger.warning(f"No CSV next to {wav}; skipping")
-            continue
+        # Pair each WAV with ITS mic's CSV (scene_X_mic000.wav ->
+        # scene_X_mic000.csv); a multi-mic scene otherwise attached the
+        # alphabetically-first mic's metadata to every mic's audio.
+        exact = wav.with_suffix(".csv")
+        if exact.is_file():
+            csv_path = exact
+        else:
+            csv_candidates = sorted(wav.parent.glob("*.csv"))
+            if not csv_candidates:
+                logger.warning(f"No CSV next to {wav}; skipping")
+                continue
+            if len(csv_candidates) > 1:
+                logger.warning(
+                    f"No exact CSV match for {wav.name}; using {csv_candidates[0].name}"
+                )
+            csv_path = csv_candidates[0]
         stem = f"fold{fold}_room{args.room}_mix{mix_idx:03d}"
         shutil.copy2(wav, audio_out / f"{stem}.wav")
-        shutil.copy2(csv_candidates[0], meta_out / f"{stem}.csv")
+        shutil.copy2(csv_path, meta_out / f"{stem}.csv")
         mix_idx += 1
 
     logger.warning(f"Converted {mix_idx - 1} scenes into {out_root}")

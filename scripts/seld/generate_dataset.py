@@ -37,7 +37,7 @@ DURATION = 60
 SAMPLE_RATE = 24000
 
 AUGMENTATIONS = {
-    "pitchshift": (PitchShift, dict(semitones=stats.uniform(-7, 0))),
+    "pitchshift": (PitchShift, dict(semitones=stats.uniform(-7, 14))),  # loc, SCALE: [-7, +7]
     "speedup": (SpeedUp, dict(stretch_factor=stats.uniform(0.9, 0.2))),
     "reverse": Reverse,
     "invert": Invert,
@@ -120,7 +120,15 @@ def build_backend_kwargs(args, rng, room=None):
         )
     if args.backend == "sofa":
         if room is not None:
-            sofa = Path(args.sofa_dir) / f"{room}_{args.channel_layout}.sofa"
+            if args.sofa_dir is None:
+                raise SystemExit("--sofa-dir is required with --assets on the sofa backend")
+            # Accept both the repo converter's layout (download_rirs.py
+            # convert-tau writes tau_{room}_{fmt}.sofa) and the bare name
+            cands = [
+                Path(args.sofa_dir) / f"tau_{room}_{args.channel_layout}.sofa",
+                Path(args.sofa_dir) / f"{room}_{args.channel_layout}.sofa",
+            ]
+            sofa = next((c for c in cands if c.is_file()), cands[0])
         elif args.sofa is not None:
             sofa = args.sofa
         else:
