@@ -31,24 +31,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB_FAILED:
         return None
     try:
-        try:
-            stale = not _SO.is_file() or _SO.stat().st_mtime < _SRC.stat().st_mtime
-        except OSError:  # source missing entirely (binary-only deployment)
-            stale = not _SO.is_file()
-        if stale:
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except (subprocess.CalledProcessError, subprocess.TimeoutExpired, OSError):
-                # A failed rebuild (no g++ / archive-freshened mtimes) must not
-                # defeat a SHIPPED prebuilt library — loading needs no toolchain.
-                if not _SO.is_file():
-                    raise
-                logger.debug("geomlib rebuild failed; loading the prebuilt .so")
+        # Content-hash staleness + WARNING on a stale prebuilt fallback
+        from audiblelight_tpu.utils import ensure_native_lib
+
+        ensure_native_lib(
+            _SRC, _SO, ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)]
+        )
         lib = ctypes.CDLL(str(_SO))
         f32p = ctypes.POINTER(ctypes.c_float)
         u8p = ctypes.POINTER(ctypes.c_uint8)

@@ -16,7 +16,6 @@ video without OpenCV.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
 from typing import Iterable, Iterator, Tuple, Union
 
@@ -42,20 +41,10 @@ def _load():
     if _LIB_FAILED:
         return None
     try:
-        try:
-            stale = not _SO.is_file() or _SO.stat().st_mtime < _SRC.stat().st_mtime
-        except OSError:  # source missing (binary-only deployment): use the .so
-            stale = not _SO.is_file()
-        if stale:
-            try:
-                subprocess.run(_BUILD, check=True, capture_output=True, timeout=120)
-            except Exception as build_exc:
-                # A failed rebuild (no gcc / no libav headers) must not defeat
-                # a SHIPPED prebuilt shim — archive extraction freshens source
-                # mtimes routinely. Loading only needs the runtime libs.
-                if not _SO.is_file():
-                    raise
-                logger.debug(f"h264 shim rebuild failed ({build_exc}); using prebuilt")
+        # Content-hash staleness + WARNING on a stale prebuilt fallback
+        from audiblelight_tpu.utils import ensure_native_lib
+
+        ensure_native_lib(_SRC, _SO, _BUILD)
         lib = ctypes.CDLL(str(_SO))
         lib.h264_writer_open.restype = ctypes.c_void_p
         lib.h264_writer_open.argtypes = [

@@ -326,9 +326,12 @@ def shard_trace_rirs(
     # (replicated P() specs) instead of a closure constant, so one compiled
     # program serves every (key, geometry, materials, listener) of the same
     # shapes — per-call closures retraced and recompiled every invocation.
+    # Only hashable primitives key the cache directly; every other kwarg
+    # (arrays, accel/star/mesh_tiles objects holding jnp arrays, lists, dicts)
+    # keys by id() below — hashing those objects raises TypeError.
     static_kwargs = tuple(sorted(
         (k, v) for k, v in trace_kwargs.items()
-        if not hasattr(v, "shape") and not isinstance(v, (list, dict))
+        if isinstance(v, (int, float, bool, str, bytes, type(None)))
     ))
     static_keys = {k for k, _ in static_kwargs}
     array_kwargs = {k: v for k, v in trace_kwargs.items() if k not in static_keys}

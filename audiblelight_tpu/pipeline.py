@@ -272,6 +272,16 @@ class FusedSceneRenderer:
             plan.moving_irs.shape[2],
             int(plan.static_audio.shape[1]),
         )
+        # The plan may have been built with pinned buckets SMALLER than the
+        # scene's event layout (build_scene_plan truncates with a warning);
+        # rendering it fused would silently drop events, so reject — the
+        # pipeline's fallback then rebuilds the plan with auto-sized buckets.
+        es, em, j, _ = self._buckets
+        n_static = sum(1 for e in scene.events.values() if not e.is_moving)
+        n_moving = sum(1 for e in scene.events.values() if e.is_moving)
+        max_j = max((len(e) for e in scene.events.values() if e.is_moving), default=0)
+        if n_static > es or n_moving > em or max_j > j:
+            return False
         return (
             id(ws.mesh) == self._mesh_id
             and mic.channel_layout_type == self._mic_layout
@@ -649,7 +659,23 @@ def render_scenes_pipelined(
                 else:  # layout outside the template's buckets: plan path
                     if group:
                         _flush_group(last_renderer)
-                    plan = build_scene_plan(scene, **(plan_kwargs or {}))
+                    # Auto-size the buckets the pinned plan_kwargs would
+                    # truncate, so the fallback renders EVERY event (one
+                    # bespoke compile for the outlier scene, no lost audio).
+                    pk = dict(plan_kwargs or {})
+                    n_static = sum(1 for e in scene.events.values() if not e.is_moving)
+                    n_moving = sum(1 for e in scene.events.values() if e.is_moving)
+                    max_j = max(
+                        (len(e) for e in scene.events.values() if e.is_moving),
+                        default=0,
+                    )
+                    if pk.get("max_static") is not None and n_static > pk["max_static"]:
+                        pk.pop("max_static")
+                    if pk.get("max_moving") is not None and n_moving > pk["max_moving"]:
+                        pk.pop("max_moving")
+                    if pk.get("max_traj") is not None and max_j > pk["max_traj"]:
+                        pk.pop("max_traj")
+                    plan = build_scene_plan(scene, **pk)
                     q, scales = stems_from_plan(plan)
             else:
                 plan = build_scene_plan(scene, **(plan_kwargs or {}))

@@ -54,6 +54,51 @@ def timer(name: str) -> Generator[None, Any, None]:  # pragma: no cover
         logger.debug(f"Took {time() - start:.2f} seconds to {name}.")
 
 
+def ensure_native_lib(src: Path, so: Path, build_cmd: list[str]) -> None:
+    """Build a native shared library from ``src`` into ``so`` when stale.
+
+    Staleness is judged by a CONTENT HASH of the source recorded in a sidecar
+    file at build time (``<so>.srchash``), not mtimes — archive extraction and
+    checkouts freshen mtimes routinely, and a silently-served stale prebuilt
+    must at least be visible. On a rebuild failure with a prebuilt ``so``
+    present, logs at WARNING (the caller then loads the possibly-stale
+    binary); with no prebuilt, re-raises.
+    """
+    import hashlib
+    import subprocess
+
+    sidecar = so.with_suffix(so.suffix + ".srchash")
+    try:
+        src_hash = hashlib.sha256(src.read_bytes()).hexdigest()
+    except OSError:  # source missing (binary-only deployment): use the .so as-is
+        if not so.is_file():
+            raise
+        return
+    recorded = None
+    try:
+        recorded = sidecar.read_text().strip()
+    except OSError:
+        pass
+    if so.is_file() and recorded == src_hash:
+        return
+    try:
+        subprocess.run(build_cmd, check=True, capture_output=True, timeout=120)
+        try:
+            sidecar.write_text(src_hash)
+        except OSError:  # read-only checkout: hash check re-runs next load
+            pass
+    except Exception as build_exc:
+        if not so.is_file():
+            raise
+        logger.warning(
+            f"Native rebuild of {so.name} failed ({build_exc}); loading the "
+            f"prebuilt binary, which does NOT match the current source "
+            f"({src.name} hash {src_hash[:12]} vs recorded {str(recorded)[:12]})"
+            if recorded != src_hash
+            else f"Native rebuild of {so.name} failed ({build_exc}); loading the prebuilt binary"
+        )
+
+
 def coerce2d(array: Union[list, np.ndarray]) -> np.ndarray:
     """Coerces an input to a 2D numpy array (a 1D input becomes a single row)."""
     if isinstance(array, list):

@@ -88,9 +88,10 @@ _ENGINE_FIELD_DEFAULTS = {
     # halve (with unbiased Russian-roulette energy reweighting) at depth/3 and
     # 2*depth/3, cutting the bounce loop's first-hit cost ~40% for per-bin
     # tail noise measured under 10% on a -40 dB region (see
-    # rir.raytracer.decimation_phases). False = trace every ray to full depth,
-    # the reference rlr behaviour.
-    "ray_decimation": True,
+    # rir.raytracer.decimation_phases). Default False = trace every ray to
+    # full depth, the reference rlr behaviour; opt in for throughput runs
+    # (bench.py and the SELD script's --fast profile enable it explicitly).
+    "ray_decimation": False,
 }
 
 
@@ -613,10 +614,19 @@ class WorldStateRLR(PlacementMixin, WorldState):
 
         if waypoints_json is None:
             mesh_fname = self.mesh.metadata.get("fname", "")
+            # Procedurally generated meshes (box_mesh / scanned_like_room) have
+            # no file on disk and therefore never have checked-in waypoints —
+            # warning for them would spam every synthetic-bench scene. The
+            # reference only ever constructs from real files, where the
+            # warning stays (reference worldstate.py:1883-1888).
+            ftype = self.mesh.metadata.get("ftype", "")
+            fpath = str(self.mesh.metadata.get("fpath", ""))
+            procedural = ftype == "generated" or fpath.startswith("synthetic://")
             default_loc = utils.get_project_root() / "resources/waypoints/gibson"
             candidate = (default_loc / mesh_fname).with_suffix(".json")
             if not candidate.is_file():
-                logger.warning(
+                log = logger.debug if procedural else logger.warning
+                log(
                     f"Cannot find waypoints for mesh {mesh_fname} inside default location "
                     f"({default_loc}). No navigation waypoints will be loaded."
                 )

@@ -95,6 +95,9 @@ def scene_factory(mesh, fg_root, n_scenes, seed0, simplify):
                     indirect_ray_depth=MAX_DEPTH,
                     max_ir_length=IR_SECONDS,
                     mesh_simplification=simplify,
+                    # Opt-in TPU fast path (defaults to the reference rlr
+                    # behaviour, False): Russian-roulette wavefront decimation
+                    ray_decimation=True,
                 ),
             ),
             fg_path=fg_root,

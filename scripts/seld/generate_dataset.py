@@ -37,7 +37,13 @@ DURATION = 60
 SAMPLE_RATE = 24000
 
 AUGMENTATIONS = {
-    "pitchshift": (PitchShift, dict(semitones=stats.uniform(-7, 14))),  # loc, SCALE: [-7, +7]
+    # Replicated VERBATIM from the reference recipe (reference
+    # scripts/seld/generate_dataset.py:66): stats.uniform(loc=-7, scale=0),
+    # a degenerate distribution that always draws -7 semitones. Almost
+    # certainly an upstream bug ([-7, 0] via scale=7 was probably intended),
+    # but dataset-recipe parity wins — same policy as the Clipping
+    # loc/scale quirk documented in augmentation.py.
+    "pitchshift": (PitchShift, dict(semitones=stats.uniform(-7, 0))),
     "speedup": (SpeedUp, dict(stretch_factor=stats.uniform(0.9, 0.2))),
     "reverse": Reverse,
     "invert": Invert,
@@ -106,6 +112,9 @@ def build_backend_kwargs(args, rng, room=None):
             # direct path keeps full resolution) — the production default for
             # scanned rooms; disable with --no-mesh-simplification.
             mesh_simplification=args.mesh_simplification,
+            # Opt-in (--ray-decimation) TPU fast path; default False = the
+            # reference rlr behaviour (every ray traced to full depth).
+            ray_decimation=args.ray_decimation,
         )
         if args.rays is not None:
             rlr_kwargs["indirect_ray_count"] = args.rays
@@ -389,6 +398,12 @@ def main():
         "--mesh-simplification", action=argparse.BooleanOptionalAction, default=True,
         help="trace the energy tail against a decimated acoustic LOD of the "
         "room (exact direct path keeps the full mesh); rlr backend only",
+    )
+    parser.add_argument(
+        "--ray-decimation", action=argparse.BooleanOptionalAction, default=False,
+        help="progressive Russian-roulette wavefront decimation for deep "
+        "traces (~40%% faster bounce loop, adds bounded late-tail Monte-Carlo "
+        "noise); default off = the reference rlr behaviour",
     )
     args = parser.parse_args()
     if args.pipeline is None:

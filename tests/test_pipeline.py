@@ -336,3 +336,54 @@ def test_render_scenes_pipelined_fused_batch_matches(fg_dir, scan_mesh):
         assert a.shape == b.shape
         scale = max(np.abs(a).max(), 1e-9)
         assert np.max(np.abs(a - b)) / scale < 5e-3
+
+
+def test_fused_pipeline_bucket_overflow_renders_all_events(fg_dir, scan_mesh):
+    """A scene whose event count exceeds the pinned plan buckets must NOT be
+    silently truncated by the fused path: compatible() rejects it and the
+    fallback rebuilds the plan with auto-sized buckets, so every event's
+    audio lands in the mix (ADVICE r3: render.py truncation finding)."""
+    from audiblelight_tpu.pipeline import FusedSceneRenderer
+    from audiblelight_tpu.render import build_scene_plan
+
+    scene = make_scanned_scene(fg_dir, scan_mesh, seed=42)
+    # third static event -> 3 statics + 1 moving, over PLAN_KW's max_static=2
+    scene.add_event(
+        event_type="static", alias="s1",
+        scene_start=4.0, event_start=0.0, duration=1.5, snr=12.0,
+        filepath=fg_dir / "maleSpeech" / "maleSpeech.wav",
+        max_place_attempts=200,
+    )
+    scene.add_event(
+        event_type="static", alias="s2",
+        scene_start=0.5, event_start=0.0, duration=1.5, snr=12.0,
+        filepath=fg_dir / "music" / "music.wav",
+        max_place_attempts=200,
+    )
+
+    plan_trunc = build_scene_plan(scene, trace=False, **PLAN_KW)
+    template = make_scanned_scene(fg_dir, scan_mesh, seed=43)
+    renderer = FusedSceneRenderer(
+        template, build_scene_plan(template, trace=False, **PLAN_KW)
+    )
+    assert not renderer.compatible(scene, plan_trunc)
+
+    # Reference render: auto-sized plan path (all 4 statics-equivalents kept)
+    import jax
+
+    scene.state._key = jax.random.PRNGKey(5)
+    ref = render_scene_audio_compiled(scene)["m"]
+
+    # Pipeline render of the SAME scene through fused=True must fall back and
+    # keep every event
+    scene.state._key = jax.random.PRNGKey(5)
+    got = {}
+    n = render_scenes_pipelined(
+        iter([scene]), lambda s, a: got.update(a), plan_kwargs=PLAN_KW,
+        fused=True,
+    )
+    assert n == 1
+    out = got["m"]
+    assert out.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-9)
+    assert np.max(np.abs(out - ref)) / scale < 5e-3

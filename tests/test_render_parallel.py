@@ -332,3 +332,33 @@ def test_bucket_plans_bounds_padding_overhead(fg_dir):
             t = plans[i].n_scene_samples
             single = np.asarray(render_scene_plan(plans[i]))
             np.testing.assert_allclose(out[row, :, :t], single, atol=1e-5)
+
+
+def test_shard_trace_rirs_accepts_unhashable_kwargs():
+    """Regression (ADVICE r3 medium): object-valued kwargs such as the grid
+    accel (holds jnp arrays, unhashable) must key the program cache by id(),
+    not by hash — passing one used to raise TypeError."""
+    from audiblelight_tpu.geometry import box_mesh
+    from audiblelight_tpu.geometry.grid import build_grid
+    from audiblelight_tpu.parallel import make_mesh, shard_trace_rirs
+
+    mesh = make_mesh(n_scene=4, n_chan=2)
+    room = box_mesh(extents=[6, 4, 3], center=[3, 2, 1.5])
+    tris_np = room.triangles.astype(np.float32)
+    tris = jnp.asarray(tris_np)
+    absorp = jnp.full((12, 2), 0.3, jnp.float32)
+    scatter = jnp.full((12,), 0.2, jnp.float32)
+    sources = jnp.asarray(
+        np.random.default_rng(3).uniform(0.5, [5.5, 3.5, 2.5], (4, 3)).astype(np.float32)
+    )
+    lis = jnp.asarray([[3.0, 2.0, 1.5]], jnp.float32)
+    accel = build_grid(tris_np)
+
+    irs = shard_trace_rirs(
+        mesh, jax.random.PRNGKey(0), tris, absorp, scatter, sources, lis,
+        n_samples=1200, sr=24000, n_rays=256, max_depth=8,
+        occlusion=True, accel_direct=accel,
+    )
+    arr = np.asarray(irs)
+    assert arr.shape == (1, 4, 1200)
+    assert np.isfinite(arr).all()
