@@ -146,9 +146,16 @@ def wav_write(
         payload = np.asarray(interleaved, dtype="<f4")
     elif subtype == "int16":
         fmt_tag, bits = _WAVE_FORMAT_PCM, 16
-        clipped = np.clip(interleaved, -1.0, 1.0)
-        clipped *= 32767.0  # clip() copied; scale in place
-        payload = clipped.astype("<i2")
+        if interleaved.dtype == np.int16:
+            # Already-quantised samples (the device-mix pipeline emits the
+            # exact WAV payload, render.quantize_mix_wav) pass through — and
+            # when the caller hands a (C, T) view of a (T, C) int16 buffer,
+            # ascontiguousarray(audio.T) above was already a no-op.
+            payload = interleaved
+        else:
+            clipped = np.clip(interleaved, -1.0, 1.0)
+            clipped *= 32767.0  # clip() copied; scale in place
+            payload = clipped.astype("<i2")
     elif subtype == "int24":
         fmt_tag, bits = _WAVE_FORMAT_PCM, 24
         clipped = np.clip(interleaved, -1.0, 1.0)

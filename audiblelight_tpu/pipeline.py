@@ -45,6 +45,68 @@ __all__ = [
 ]
 
 
+def fused_inputs_host(scene, buckets: tuple, bucket_sources: int):
+    """Host half of FusedSceneRenderer.scene_inputs: (key, src, caps, s_idx,
+    m_idx) numpy arrays + the rain-table query points. Pure host work (the
+    PRNG split runs on the committed CPU key), so scene-prep WORKER PROCESSES
+    can run it without touching the accelerator; the main process only adds
+    the device-resident rain table.
+
+    `buckets` = (es, em, j, S) as in FusedSceneRenderer._buckets;
+    `bucket_sources` = the renderer's padded source count.
+    """
+    from audiblelight_tpu import utils
+
+    ws = scene.state
+    mic = next(iter(ws.microphones.values()))
+    src = ws._emitter_positions().astype(np.float32)
+    n_src = len(src)
+    if n_src > bucket_sources:
+        raise ValueError(
+            f"scene has {n_src} emitters; this program buckets {bucket_sources}"
+        )
+    if n_src < bucket_sources:
+        src = np.concatenate([src, np.tile(src[:1], (bucket_sources - n_src, 1))])
+
+    caps_abs = np.atleast_2d(
+        np.asarray(utils.coerce2d(mic.coordinates_absolute), np.float64)
+    )
+    if mic.channel_layout_type == "mic":
+        caps = caps_abs
+    else:
+        caps = np.atleast_2d(
+            np.asarray(utils.coerce2d(mic.coordinates_center), np.float64)
+        )
+
+    es, em, j, _ = buckets
+    s_idx = np.full(es, -1, dtype=np.int32)
+    m_idx = np.full((em, j), -1, dtype=np.int32)
+    si = mi = counter = 0
+    for event in scene.events.values():
+        n_em = len(event)
+        if event.is_moving:
+            if mi < em:
+                n_j = min(n_em, j)
+                m_idx[mi, :n_j] = np.arange(counter, counter + n_j)
+            mi += 1
+        else:
+            if si < es:
+                s_idx[si] = counter
+            si += 1
+        counter += n_em
+
+    # Rain-table query points replicate trace_irs_device EXACTLY (shared
+    # visibility: mean of the physical capsule positions)
+    shared_vis = bool(ws.cfg.shared_visibility) if hasattr(ws, "cfg") else True
+    mic_pts = caps_abs.mean(axis=0, keepdims=True) if shared_vis else caps
+
+    sub = np.asarray(ws.split_key())
+    return (
+        (sub, src.astype(np.float32), caps.astype(np.float32), s_idx, m_idx),
+        mic_pts,
+    )
+
+
 def mic_channel_spans(scene) -> list[tuple[str, int, int]]:
     """Per-mic (alias, start, end) spans into the plan's concatenated channel
     axis, in microphone registration order (the order build_scene_plan stacks)."""
@@ -92,7 +154,7 @@ def mix_plan_host(plan: ScenePlan, q, scales) -> np.ndarray:
         np.asarray(scales),
         starts,
         plan.n_scene_samples,
-        ambience=np.asarray(plan.ambience),
+        ambience=None if plan.ambience is None else np.asarray(plan.ambience),
     )
 
 
@@ -208,10 +270,10 @@ class FusedSceneRenderer:
 
         shared_vis = bool(cfg.shared_visibility)
 
-        def render(key, sources, listeners, face_occ, s_idx, m_idx,
-                   static_audio, static_mask, static_snr, static_len,
-                   static_place_len, moving_audio, moving_w, moving_mask,
-                   moving_snr, moving_len, moving_place_len, ref_db):
+        def stems_body(key, sources, listeners, face_occ, s_idx, m_idx,
+                       static_audio, static_mask, static_snr, static_len,
+                       static_place_len, moving_audio, moving_w, moving_mask,
+                       moving_snr, moving_len, moving_place_len, ref_db):
             from audiblelight_tpu.rir.raytracer import trace_rirs_multi
 
             irs = trace_rirs_multi(
@@ -246,16 +308,52 @@ class FusedSceneRenderer:
             m_irs = jnp.where((m_idx >= 0)[None, :, :, None], m_irs, 0.0)
             m_irs = m_irs.transpose(1, 0, 2, 3)  # (em, C, j, S)
 
-            stems = render_event_stems_arrays(
+            return render_event_stems_arrays(
                 static_audio, s_irs, static_mask, static_snr,
                 static_len, static_place_len,
                 moving_audio, m_irs, moving_w, moving_mask, moving_snr,
                 moving_len, moving_place_len, ref_db,
             )
-            return quantize_stems(stems)
+
+        def render(*args):
+            return quantize_stems(stems_body(*args))
+
+        # Whole-scene-to-WAV program: stems placed into the scene timeline,
+        # ambience generated + scaled on device, int16 WAV payload out — the
+        # host's only remaining per-scene sample work is a file write. The
+        # ambience key derives from the trace key by a constant fold so the
+        # worldstate PRNG walk stays IDENTICAL to the stems path.
+        t_scene = int(round(float(scene.duration) * sr))
+        self._t_scene = t_scene
+        c_total = int(mic.n_channels)
+
+        def render_mix(key, sources, listeners, face_occ, s_idx, m_idx,
+                       static_audio, static_mask, static_snr, static_len,
+                       static_place_len, moving_audio, moving_w, moving_mask,
+                       moving_snr, moving_len, moving_place_len, ref_db,
+                       starts, amb_on, amb_beta, amb_db):
+            from audiblelight_tpu.render import (
+                ambience_bed_device,
+                place_stems_device,
+                quantize_mix_wav,
+            )
+
+            stems = stems_body(
+                key, sources, listeners, face_occ, s_idx, m_idx,
+                static_audio, static_mask, static_snr, static_len,
+                static_place_len, moving_audio, moving_w, moving_mask,
+                moving_snr, moving_len, moving_place_len, ref_db,
+            )
+            mix = place_stems_device(stems, starts, t_scene)
+            amb_key = jax.random.fold_in(key, 0xA3B)
+            bed = ambience_bed_device(amb_key, amb_beta, amb_db, c_total, t_scene)
+            mix = mix + amb_on * bed
+            return quantize_mix_wav(mix)
 
         self._body = render  # unjitted whole-scene program (shard_map/vmap composable)
+        self._body_mix = render_mix
         self._render = jax.jit(render)
+        self._render_mix = jax.jit(render_mix)
 
     def compatible(self, scene, plan: ScenePlan) -> bool:
         """Can `scene` render through this compiled program? Same mesh object,
@@ -306,43 +404,7 @@ class FusedSceneRenderer:
         import jax.numpy as jnp
 
         ws = scene.state
-        mic = next(iter(ws.microphones.values()))
-        src = ws._emitter_positions().astype(np.float32)
-        n_src = len(src)
-        if n_src > self._bucket:
-            raise ValueError(
-                f"scene has {n_src} emitters; this program buckets {self._bucket}"
-            )
-        if n_src < self._bucket:
-            src = np.concatenate([src, np.tile(src[:1], (self._bucket - n_src, 1))])
-
-        from audiblelight_tpu import utils
-
-        if mic.channel_layout_type == "mic":
-            caps = np.atleast_2d(
-                np.asarray(utils.coerce2d(mic.coordinates_absolute), np.float64)
-            )
-        else:
-            caps = np.atleast_2d(
-                np.asarray(utils.coerce2d(mic.coordinates_center), np.float64)
-            )
-
-        es, em, j, _ = self._buckets
-        s_idx = np.full(es, -1, dtype=np.int32)
-        m_idx = np.full((em, j), -1, dtype=np.int32)
-        si = mi = counter = 0
-        for event in scene.events.values():
-            n_em = len(event)
-            if event.is_moving:
-                if mi < em:
-                    n_j = min(n_em, j)
-                    m_idx[mi, :n_j] = np.arange(counter, counter + n_j)
-                mi += 1
-            else:
-                if si < es:
-                    s_idx[si] = counter
-                si += 1
-            counter += n_em
+        host, mic_pts = fused_inputs_host(scene, self._buckets, self._bucket)
 
         # Per-face rain visibility: a DEVICE-resident table cached by rounded
         # listener position (ws.rain_occlusion_for) — fixed-mic dataset runs
@@ -350,26 +412,11 @@ class FusedSceneRenderer:
         # dispatch that the pipeline hides. (Computing it in-program instead
         # was measured round-trip-neutral but recomputed the table per scene
         # — and per vmapped batch LANE — even for repeated positions.)
-        # The query points replicate trace_irs_device EXACTLY (shared: mean of
-        # the physical capsule positions) so the two paths agree and share the
-        # position-keyed cache.
         if self._occl:
-            if self._shared_vis:
-                caps_abs = np.atleast_2d(
-                    np.asarray(utils.coerce2d(mic.coordinates_absolute), np.float64)
-                )
-                pts = caps_abs.mean(axis=0, keepdims=True)
-            else:
-                pts = caps
-            face_occ = ws.rain_occlusion_for(pts)
+            face_occ = ws.rain_occlusion_for(mic_pts)
         else:
             face_occ = jnp.zeros((1, ws.acoustic_tris_device.shape[0]), bool)
 
-        ws._key, sub = jax.random.split(ws._key)
-        host = (
-            np.asarray(sub), src.astype(np.float32),
-            caps.astype(np.float32), s_idx, m_idx,
-        )
         if not device:
             return host[:3] + (face_occ,) + host[3:]
         # One batched upload: per-transfer RPC latency dominates on remote
@@ -379,6 +426,88 @@ class FusedSceneRenderer:
         # no device round trip.
         sub_d, src_d, caps_d, s_d, m_d = jax.device_put(host)
         return (sub_d, src_d, caps_d, face_occ, s_d, m_d)
+
+    def mix_eligible(self, scene) -> bool:
+        """Can `scene` render through the whole-scene-to-WAV mix program?
+        Requires the template's scene length and at most ONE colored-noise
+        ambience whose channel count matches the mic rig (file-based or
+        multiple ambiences keep the stems + host-mix path)."""
+        ws = scene.state
+        if int(round(float(scene.duration) * self._sr)) != self._t_scene:
+            return False
+        ambs = list(scene.ambience.values())
+        if len(ambs) > 1:
+            return False
+        if ambs:
+            amb = ambs[0]
+            if amb.beta is None:  # file-based
+                return False
+            mic = next(iter(ws.microphones.values()))
+            if int(amb.channels) != int(mic.n_channels):
+                return False
+        return True
+
+    @staticmethod
+    def mix_args(scene, plan: ScenePlan) -> tuple:
+        """The mix program's extra inputs: per-event start offsets and the
+        ambience (on, beta, ref_db) scalars. "gaussian" ambience maps to
+        beta=0 (spectrally flat == white); realisations come from the device
+        PRNG, so they differ from the host bed draw-for-draw but match in
+        color, per-channel peak normalisation, and ref_db level."""
+        starts = np.concatenate(
+            [np.asarray(plan.static_start), np.asarray(plan.moving_start)]
+        ).astype(np.int32)
+        ambs = list(scene.ambience.values())
+        if ambs:
+            amb = ambs[0]
+            beta = 0.0 if amb.beta == "gaussian" else float(amb.beta)
+            return (
+                starts,
+                np.float32(1.0),
+                np.float32(beta),
+                np.float32(amb.ref_db),
+            )
+        return (starts, np.float32(0.0), np.float32(0.0), np.float32(-65.0))
+
+    def render_mix(self, scene, plan: ScenePlan):
+        """Render one scene to its (C, T) int16 WAV samples in ONE dispatch."""
+        args = self.scene_inputs(scene)
+        return self._render_mix(*args, *self.plan_args(plan), *self.mix_args(scene, plan))
+
+    def render_mix_batch(self, inputs, plans, extras):
+        """Render B scenes to WAV samples in one vmapped dispatch: returns
+        (B, C, T) int16. Same micro-batching rationale as render_batch."""
+        import jax
+        import jax.numpy as jnp
+
+        if not (len(inputs) == len(plans) == len(extras)):
+            raise ValueError("one plan + extras tuple per scene required")
+        leaves = [
+            tuple(i) + self.plan_args(p) + tuple(e)
+            for i, p, e in zip(inputs, plans, extras)
+        ]
+        host_stacked, dev_stacked = {}, {}
+        for k in range(len(leaves[0])):
+            xs = [l[k] for l in leaves]
+            if all(isinstance(x, (np.ndarray, np.generic)) for x in xs):
+                host_stacked[k] = np.stack(xs)
+            else:
+                dev_stacked[k] = jnp.stack([jnp.asarray(x) for x in xs])
+        if host_stacked:
+            ks = list(host_stacked)
+            for k, v in zip(ks, jax.device_put(tuple(host_stacked[k] for k in ks))):
+                host_stacked[k] = v
+        stacked = tuple(
+            host_stacked[k] if k in host_stacked else dev_stacked[k]
+            for k in range(len(leaves[0]))
+        )
+        cache = getattr(self, "_mix_batch_programs", None)
+        if cache is None:
+            cache = self._mix_batch_programs = {}
+        fn = cache.get(len(inputs))
+        if fn is None:
+            fn = cache[len(inputs)] = jax.jit(jax.vmap(self._body_mix))
+        return fn(*stacked)
 
     @staticmethod
     def plan_args(plan: ScenePlan) -> tuple:
@@ -441,6 +570,50 @@ class FusedSceneRenderer:
             fn = cache[len(inputs)] = jax.jit(jax.vmap(self._body))
         return fn(*stacked)
 
+    def render_mix_batch_sharded(self, inputs, plans, extras, mesh,
+                                 axis: str = "scene"):
+        """Render B scenes to (B, C, T) int16 WAV samples with the batch
+        SHARDED over a device mesh — the multi-chip dataset CLI path
+        (scripts/seld --mesh-devices). Same data-parallel regime as
+        render_batch_sharded: each chip runs the complete whole-scene-to-WAV
+        program on its local slice, geometry replicates as compiled
+        constants, no collectives on the hot path. B must divide by the
+        mesh's `axis` size."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        b = len(inputs)
+        if not (b == len(plans) == len(extras)):
+            raise ValueError("one plan + extras tuple per scene required")
+        n_dev = mesh.shape[axis]
+        if b % n_dev != 0:
+            raise ValueError(f"batch size {b} must divide by mesh '{axis}' size {n_dev}")
+
+        leaves = [
+            tuple(i) + self.plan_args(p) + tuple(e)
+            for i, p, e in zip(inputs, plans, extras)
+        ]
+        stacked = tuple(
+            jnp.stack([jnp.asarray(l[k]) for l in leaves])
+            for k in range(len(leaves[0]))
+        )
+        cache = getattr(self, "_mix_sharded_programs", None)
+        if cache is None:
+            cache = self._mix_sharded_programs = {}
+        fn = cache.get((id(mesh), axis, b))
+        if fn is None:
+            fn = cache[(id(mesh), axis, b)] = jax.jit(
+                jax.shard_map(
+                    jax.vmap(self._body_mix),
+                    mesh=mesh,
+                    in_specs=P(axis),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+        return fn(*stacked)
+
     def render_batch_sharded(self, inputs, plans, mesh, axis: str = "scene"):
         """Render B scenes' fused programs with the batch SHARDED over a
         device mesh — the multi-chip dataset-generation path.
@@ -499,6 +672,7 @@ def render_scenes_pipelined(
     overlap_io: bool = True,
     fused: bool = False,
     fused_batch: int = 1,
+    device_mix: bool = False,
 ) -> int:
     """Dispatch-ahead dataset pipeline.
 
@@ -532,6 +706,15 @@ def render_scenes_pipelined(
     scenes ahead of an incompatible one) renders per-scene through the
     already-compiled single-scene program.
 
+    `device_mix=True` (with fused=True) extends the fused program to the
+    complete WAV payload: stems place into the scene timeline ON DEVICE, the
+    ambience bed generates + scales ON DEVICE (a different PRNG realisation
+    than the host bed — same color/level), and the (C, T) int16 samples come
+    back ready to write. `complete` then receives int16 (C, T)
+    arrays instead of float mixes, and the host's per-scene sample work drops
+    to a file write. Scenes with file-based or multiple ambiences (or
+    off-template durations) transparently keep the stems + host-mix path.
+
     Returns the number of scenes completed.
     """
     import queue as _queue
@@ -542,7 +725,19 @@ def render_scenes_pipelined(
 
     def _finish(item):
         nonlocal done
-        scenes, plans, q, scales, is_batch = item
+        scenes, plans, q, scales, is_batch, kind = item
+        if kind == "mix":
+            # q: (B, C, T) or (C, T) int16 WAV samples — the device already
+            # placed, ambience-mixed, and quantised; the host hands them to
+            # complete() as-is (wav_write interleaves int16 directly, no
+            # float conversion).
+            qn = np.asarray(q)
+            for i, scene in enumerate(scenes):
+                arr = qn[i] if is_batch else qn
+                alias = next(iter(scene.state.microphones))
+                complete(scene, OrderedDict([(alias, arr)]))
+                done += 1
+            return
         if is_batch:
             qn, sn = np.asarray(q), np.asarray(scales)  # ONE pull for K scenes
         for i, (scene, plan) in enumerate(zip(scenes, plans)):
@@ -581,8 +776,8 @@ def render_scenes_pipelined(
         for arr in (item[2], item[3]):
             try:
                 arr.copy_to_host_async()
-            except (AttributeError, NotImplementedError):  # pragma: no cover
-                pass
+            except (AttributeError, NotImplementedError):
+                pass  # numpy arrays / None (mix items): nothing to prefetch
         if overlap_io:
             work.put(item)
             if errors:
@@ -599,13 +794,34 @@ def render_scenes_pipelined(
     renderers: OrderedDict = OrderedDict()
     max_renderers = 4
     group: list = []  # (scene, plan) pairs awaiting a full micro-batch
+    group_kind = "stems"
+
+    def _mix_precheck(scene) -> bool:
+        """device_mix eligibility knowable BEFORE the renderer exists (the
+        renderer's mix_eligible() re-checks duration against its template)."""
+        ambs = list(scene.ambience.values())
+        if len(ambs) > 1:
+            return False
+        if ambs and ambs[0].beta is None:
+            return False
+        if len(scene.state.microphones) != 1:
+            return False
+        if ambs:
+            mic = next(iter(scene.state.microphones.values()))
+            if int(ambs[0].channels) != int(mic.n_channels):
+                return False
+        return True
 
     def _flush_group(renderer):
         # Partial groups render per-scene: the single-scene program is already
         # compiled, while each distinct partial batch size would compile anew.
         for scene, plan in group:
-            q, scales = renderer(scene, plan)
-            _emit(([scene], [plan], q, scales, False))
+            if group_kind == "mix":
+                q = renderer.render_mix(scene, plan)
+                _emit(([scene], [plan], q, None, False, "mix"))
+            else:
+                q, scales = renderer(scene, plan)
+                _emit(([scene], [plan], q, scales, False, "stems"))
         group.clear()
 
     it: Iterator = iter(scene_factory)
@@ -616,13 +832,17 @@ def render_scenes_pipelined(
             if scene is None:
                 break
             if fused:
+                use_mix = device_mix and _mix_precheck(scene)
                 # Plan tensors upload per scene (one batched async device_put
                 # at build): measured FASTER than deferring the whole group's
                 # tensors to one synchronous upload at dispatch, which parks
                 # ~12 MB on the critical path (33 vs 24 scene-sec/s median on
                 # the dev tunnel). Per-scene INPUTS do defer (tiny arrays,
                 # latency-dominated — see render_batch).
-                plan = build_scene_plan(scene, trace=False, **(plan_kwargs or {}))
+                plan = build_scene_plan(
+                    scene, trace=False, build_ambience=not use_mix,
+                    **(plan_kwargs or {}),
+                )
                 # Key by the mesh OBJECT (kept alive by the renderer itself,
                 # so the id cannot be recycled while the entry lives)
                 mesh_key = id(getattr(scene.state, "mesh", scene.state))
@@ -637,23 +857,46 @@ def render_scenes_pipelined(
                     except ValueError:
                         renderer = None
                 if renderer is not None and renderer.compatible(scene, plan):
+                    use_mix = use_mix and renderer.mix_eligible(scene)
+                    if use_mix or plan.ambience is not None:
+                        pass
+                    else:
+                        # Mix precheck passed but the renderer disqualified
+                        # the scene (template duration mismatch): the plan was
+                        # built without its ambience bed, which the stems path
+                        # needs — rebuild (rare).
+                        plan = build_scene_plan(
+                            scene, trace=False, **(plan_kwargs or {})
+                        )
+                    kind = "mix" if use_mix else "stems"
                     if fused_batch > 1:
-                        if group and renderer is not last_renderer:
+                        if group and (renderer is not last_renderer or kind != group_kind):
                             _flush_group(last_renderer)
                         last_renderer = renderer
+                        group_kind = kind
                         group.append((scene, plan))
                         if len(group) == fused_batch:
                             inputs = [
                                 renderer.scene_inputs(s, device=False)
                                 for s, _ in group
                             ]
-                            q, scales = renderer.render_batch(
-                                inputs, [p for _, p in group]
-                            )
-                            item = ([s for s, _ in group], [p for _, p in group],
-                                    q, scales, True)
+                            plans_g = [p for _, p in group]
+                            scenes_g = [s for s, _ in group]
+                            if kind == "mix":
+                                extras = [
+                                    renderer.mix_args(s, p) for s, p in group
+                                ]
+                                q = renderer.render_mix_batch(inputs, plans_g, extras)
+                                item = (scenes_g, plans_g, q, None, True, "mix")
+                            else:
+                                q, scales = renderer.render_batch(inputs, plans_g)
+                                item = (scenes_g, plans_g, q, scales, True, "stems")
                             group.clear()
                             _emit(item)
+                        continue
+                    if use_mix:
+                        q = renderer.render_mix(scene, plan)
+                        _emit(([scene], [plan], q, None, False, "mix"))
                         continue
                     q, scales = renderer(scene, plan)
                 else:  # layout outside the template's buckets: plan path
@@ -680,7 +923,7 @@ def render_scenes_pipelined(
             else:
                 plan = build_scene_plan(scene, **(plan_kwargs or {}))
                 q, scales = stems_from_plan(plan)
-            _emit(([scene], [plan], q, scales, False))
+            _emit(([scene], [plan], q, scales, False, "stems"))
         if group:
             _flush_group(last_renderer)
         if overlap_io:

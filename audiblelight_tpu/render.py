@@ -260,6 +260,58 @@ def quantize_stems(stems: jnp.ndarray):
     return q, scales
 
 
+def place_stems_device(stems: jnp.ndarray, starts: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Additive placement of float stems (E, C, S) into a (C, t) device
+    timeline at per-event sample offsets — the device analog of
+    mix_stems_host (events past the scene end clip via the padded buffer)."""
+    e, c, s = stems.shape
+    out = jnp.zeros((c, t + s), dtype=jnp.float32)
+
+    def place(i, acc):
+        seg = jax.lax.dynamic_slice(acc, (0, starts[i]), (c, s))
+        return jax.lax.dynamic_update_slice(acc, seg + stems[i], (0, starts[i]))
+
+    return jax.lax.fori_loop(0, e, place, out)[:, :t]
+
+
+def ambience_bed_device(
+    key: jax.Array, beta, ref_db, channels: int, t: int
+) -> jnp.ndarray:
+    """A colored-noise ambience bed (channels, t) generated ON DEVICE.
+
+    Reproduces the host recipe (Ambience.load_ambience(normalize=True) +
+    build_scene_plan's ref_db scaling — reference synthesize.py:342-356) with
+    a JAX PRNG realisation: per-channel peak normalisation then
+    10^(ref_db/20) / mean|noise| scaling. beta and ref_db are traced scalars,
+    so one compiled program serves every colour/level."""
+    from audiblelight_tpu.ops.noise import powerlaw_psd_gaussian_jax
+
+    # beta == 0 (white / the dataset scripts' "gaussian") skips the spectral
+    # shaping entirely: a 1.44M-point rFFT pair costs ~30 ms/scene on chip,
+    # pure PRNG draws ~3 ms. lax.cond executes only the taken branch, so one
+    # compiled program still serves every colour.
+    noise = jax.lax.cond(
+        beta == 0.0,
+        lambda k: jax.random.normal(k, (channels, t)),
+        lambda k: powerlaw_psd_gaussian_jax(k, beta, (channels, t)),
+        key,
+    )
+    peak = jnp.max(jnp.abs(noise), axis=-1, keepdims=True)
+    noise = noise / (peak + _TINY)
+    scale = 10 ** (ref_db / 20.0) / (jnp.mean(jnp.abs(noise)) + _TINY)
+    return (noise * scale).astype(jnp.float32)
+
+
+def quantize_mix_wav(mix: jnp.ndarray) -> jnp.ndarray:
+    """(C, T) float mix -> (C, T) int16, the exact samples
+    io.audio.wav_write(subtype="int16") produces: clip to [-1, 1], scale by
+    32767, truncate toward zero. Channel-major is kept on device — int16
+    time-major (minor dim = n_channels) pulls measurably slower through the
+    host link's lane repacking; the host interleaves during the WAV write."""
+    clipped = jnp.clip(mix, -1.0, 1.0) * 32767.0
+    return clipped.astype(jnp.int16)
+
+
 def mix_stems_host(
     stems_i16: np.ndarray,
     scales: np.ndarray,
@@ -298,6 +350,7 @@ def build_scene_plan(
     pad_audio_seconds: Optional[float] = None,
     trace: bool = True,
     device: bool = True,
+    build_ambience: bool = True,
 ) -> ScenePlan:
     """Compile a Scene into a fixed-shape ScenePlan.
 
@@ -452,7 +505,11 @@ def build_scene_plan(
     # float64 scalar would upcast the whole (C, T) bed (a 60 s 4-channel scene
     # is ~6M samples; the upcast+downcast measured ~190 ms/scene of pure copy
     # on the production pipeline) for rounding noise ~1e-7 of a -65 dB floor.
-    ambience = np.zeros((c_total, t), dtype=np.float32)
+    # `build_ambience=False` skips the (C, T) host bed entirely — the
+    # device-mix pipeline generates + scales ambience on device
+    # (ambience_bed_device), and building the host bed costs ~0.25 s/scene of
+    # the production pipeline's host budget (noise gen + scale + zeros).
+    ambience = np.zeros((c_total, t), dtype=np.float32) if build_ambience else None
     # The bed goes into EVERY microphone's channel span (the classic path adds
     # the same ambience to each mic's buffer, synthesize.py
     # generate_scene_audio_from_events); writing only rows [:channels] left
@@ -463,7 +520,7 @@ def build_scene_plan(
         n_ch = int(m.n_channels)
         mic_spans.append((off, off + n_ch))
         off += n_ch
-    for i_amb, amb in enumerate(scene.ambience.values()):
+    for i_amb, amb in enumerate(scene.ambience.values() if build_ambience else ()):
         noise = amb.load_ambience(normalize=True)
         scale = np.float32(
             10 ** (amb.ref_db / 20.0) / (np.mean(np.abs(noise)) + utils.tiny(noise))

@@ -178,8 +178,17 @@ class WorldStateRLR(PlacementMixin, WorldState):
         # is a full RPC round trip (dataset runs build one WorldState per
         # scene). The subkey ships to the device together with the other
         # per-scene inputs; threefry streams are identical on every backend.
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            self._key = jax.random.PRNGKey(seed if seed is not None else utils.SEED)
+        # device_put COMMITS the key to the CPU backend. An uncommitted key
+        # (merely created under default_device) makes every later
+        # jax.random.split dispatch on the DEFAULT accelerator — queued behind
+        # all in-flight render batches, so the tiny np.asarray(subkey) pull
+        # measured ~0.65 s/scene of head-of-line blocking on the production
+        # pipeline. Committed, the walk stays host-local and free.
+        cpu0 = jax.local_devices(backend="cpu")[0]
+        self._key = jax.device_put(
+            jax.random.PRNGKey(seed if seed is not None else utils.SEED), cpu0
+        )
+        self._cpu_device = cpu0
 
         self.empty_space_around_mic = utils.sanitise_positive_number(empty_space_around_mic)
         self.empty_space_around_surface = utils.sanitise_positive_number(
@@ -211,11 +220,24 @@ class WorldStateRLR(PlacementMixin, WorldState):
 
         self.material = validate_material(material)
         self.cfg = self._parse_rlr_config(rlr_kwargs)
-        self._tris_device = None
-        self._face_props_device = None
         self.ctx = None
         if self.add_to_state:
             self._setup_audio_context()
+
+    def split_key(self):
+        """Advance the PRNG walk and return the subkey, HOST-LOCALLY.
+
+        Split outputs are uncommitted, so without the explicit CPU default a
+        second split would drift back to the accelerator queue (see the
+        commit note in __init__). Threefry streams are identical on every
+        backend, so the values match a device-side walk exactly.
+        """
+        cpu0 = getattr(self, "_cpu_device", None)
+        if cpu0 is None:
+            cpu0 = self._cpu_device = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu0):
+            self._key, sub = jax.random.split(self._key)
+        return sub
 
     # ------------------------------------------------------------------
     # Engine config / context
@@ -291,24 +313,50 @@ class WorldStateRLR(PlacementMixin, WorldState):
             float(np.sum(v, dtype=np.float64)),
         )
 
+    def _shared_cache(self) -> dict:
+        """Accel/device caches scoped to the MESH object, not this WorldState.
+
+        Dataset runs build one WorldState per scene over ONE shared mesh; when
+        these caches lived on the WorldState, every scene re-paid the mesh
+        simplification (~0.3 s host), grid/tile/star builds, device triangle
+        uploads (~4 MB), and rain-occlusion tables — measured ~0.7 s/scene of
+        the production pipeline (the single largest host cost). Everything in
+        here is a pure function of (mesh geometry, key), so it lives on the
+        mesh keyed by the geometry fingerprint: a mutated/replaced mesh gets a
+        fresh dict and can never serve stale structures. Entries whose inputs
+        go beyond the triangles (material, engine config, listener positions)
+        carry those inputs in their keys.
+        """
+        fp = self._mesh_fingerprint()
+        cache = getattr(self.mesh, "_al_accel_cache", None)
+        if cache is None or cache.get("fp") != fp:
+            cache = {"fp": fp}
+            try:
+                self.mesh._al_accel_cache = cache
+            except AttributeError:  # pragma: no cover — slotted mesh types
+                own = getattr(self, "_own_accel_cache", None)
+                if own is not None and own.get("fp") == fp:
+                    cache = own
+                self._own_accel_cache = cache
+        # Per-instance RESULTS (simulated IRs) are stale when the mesh mutates
+        if getattr(self, "_tris_fp", None) != fp:
+            self._tris_fp = fp
+            self._irs_device_cache = None
+            self._irs = None
+        return cache
+
+    def _ms_key(self):
+        """Hashable mesh-simplification setting (part of acoustic-mesh keys)."""
+        ms = self.cfg.mesh_simplification
+        return ms if isinstance(ms, (bool, int, float)) else str(ms)
+
     @property
     def tris_device(self) -> jnp.ndarray:
         """(F, 3, 3) float32 triangle array on device (cached, fingerprint-keyed)."""
-        fp = self._mesh_fingerprint()
-        if self._tris_device is None or getattr(self, "_tris_fp", None) != fp:
-            self._tris_device = jnp.asarray(self.mesh.triangles.astype(np.float32))
-            self._tris_fp = fp
-            # Every derived acceleration structure is stale with the mesh
-            self._grid_accel = None
-            self._mesh_tiles = None
-            self._star_accels = {}
-            self._face_props_device = None
-            self._acoustic_mesh_cache = None
-            self._acoustic_tris_device = None
-            self._rain_occ_cache = {}
-            self._irs_device_cache = None
-            self._irs = None
-        return self._tris_device
+        cache = self._shared_cache()
+        if "tris_device" not in cache:
+            cache["tris_device"] = jnp.asarray(self.mesh.triangles.astype(np.float32))
+        return cache["tris_device"]
 
     @property
     def grid_accel(self):
@@ -318,21 +366,20 @@ class WorldStateRLR(PlacementMixin, WorldState):
         the dense kernels stop being viable in); None for small meshes, where
         the Pallas dense kernels win. Rebuilt if the face count changes.
         """
-        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
         if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES:
             return None
-        if getattr(self, "_grid_accel", None) is None:
+        cache = self._shared_cache()
+        if "grid" not in cache:
             from audiblelight_tpu.geometry.grid import build_grid
 
-            self._grid_accel = build_grid(self.mesh.triangles.astype(np.float32))
-            logger.info(f"Built ray-acceleration structure: {self._grid_accel}")
-        return self._grid_accel
+            cache["grid"] = build_grid(self.mesh.triangles.astype(np.float32))
+            logger.info(f"Built ray-acceleration structure: {cache['grid']}")
+        return cache["grid"]
 
     @property
     def mesh_tiles(self):
         """Morton-tiled face layout for reachability-culled first hits
         (large meshes on TPU backends only; None elsewhere)."""
-        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
         if not getattr(config, "USE_TILED_FIRST_HIT", True):
             return None
         if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES:
@@ -341,12 +388,13 @@ class WorldStateRLR(PlacementMixin, WorldState):
 
         if not pallas_supported():
             return None
-        if getattr(self, "_mesh_tiles", None) is None:
+        cache = self._shared_cache()
+        if "tiles" not in cache:
             from audiblelight_tpu.ops.tiled_first_hit import build_mesh_tiles
 
-            self._mesh_tiles = build_mesh_tiles(self.mesh.triangles.astype(np.float32))
-            logger.info(f"Built first-hit tile structure: {self._mesh_tiles}")
-        return self._mesh_tiles
+            cache["tiles"] = build_mesh_tiles(self.mesh.triangles.astype(np.float32))
+            logger.info(f"Built first-hit tile structure: {cache['tiles']}")
+        return cache["tiles"]
 
     @property
     def acoustic_mesh(self) -> TriMesh:
@@ -357,11 +405,12 @@ class WorldStateRLR(PlacementMixin, WorldState):
         rationale); otherwise the full mesh itself. Placement queries and the
         exact direct path always use the full mesh.
         """
-        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
         ms = self.cfg.mesh_simplification
         if not ms:
             return self.mesh
-        if getattr(self, "_acoustic_mesh_cache", None) is None:
+        cache = self._shared_cache()
+        ck = ("amesh", self._ms_key())
+        if ck not in cache:
             if ms is True:
                 simplified = self.mesh.simplified(
                     target_faces=config.MESH_SIMPLIFICATION_TARGET_FACES
@@ -381,8 +430,8 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 f"Acoustic mesh: {len(self.mesh.faces)} -> {len(simplified.faces)} "
                 f"faces (voxel {simplified.metadata.get('simplified_voxel', 0):.3f} m)"
             )
-            self._acoustic_mesh_cache = simplified
-        return self._acoustic_mesh_cache
+            cache[ck] = simplified
+        return cache[ck]
 
     @property
     def acoustic_tris_device(self) -> jnp.ndarray:
@@ -390,12 +439,11 @@ class WorldStateRLR(PlacementMixin, WorldState):
         amesh = self.acoustic_mesh
         if amesh is self.mesh:
             return self.tris_device
-        cached = getattr(self, "_acoustic_tris_device", None)
-        if cached is None or cached.shape[0] != len(amesh.faces):
-            self._acoustic_tris_device = jnp.asarray(
-                amesh.triangles.astype(np.float32)
-            )
-        return self._acoustic_tris_device
+        cache = self._shared_cache()
+        ck = ("atris", self._ms_key())
+        if ck not in cache:
+            cache[ck] = jnp.asarray(amesh.triangles.astype(np.float32))
+        return cache[ck]
 
     def rain_occlusion_for(self, listener_points: np.ndarray) -> jnp.ndarray:
         """Cached (C_occ, F') per-face rain-occlusion table for the acoustic
@@ -403,18 +451,22 @@ class WorldStateRLR(PlacementMixin, WorldState):
         from audiblelight_tpu.rir.raytracer import face_rain_occlusion
 
         listener_points = np.atleast_2d(np.asarray(listener_points, dtype=np.float64))
-        key = tuple(np.round(listener_points, 4).ravel().tolist())
-        cache = getattr(self, "_rain_occ_cache", None)
-        if cache is None:
-            cache = self._rain_occ_cache = {}
-        if key not in cache:
+        cache = self._shared_cache()
+        ck = (
+            "rain",
+            self._ms_key(),
+            tuple(np.round(listener_points, 4).ravel().tolist()),
+        )
+        if ck not in cache:
             amesh = self.acoustic_mesh
             tris = self.acoustic_tris_device
-            normals = jnp.asarray(amesh.face_normals.astype(np.float32))
-            cache[key] = face_rain_occlusion(
-                tris, normals, jnp.asarray(listener_points, dtype=jnp.float32)
+            ck_n = ("anormals", self._ms_key())
+            if ck_n not in cache:
+                cache[ck_n] = jnp.asarray(amesh.face_normals.astype(np.float32))
+            cache[ck] = face_rain_occlusion(
+                tris, cache[ck_n], jnp.asarray(listener_points, dtype=jnp.float32)
             )
-        return cache[key]
+        return cache[ck]
 
     def star_accel_for(self, center: np.ndarray, r_pad: float):
         """Azimuth-culled occlusion layout for one listener centre (cached).
@@ -422,7 +474,6 @@ class WorldStateRLR(PlacementMixin, WorldState):
         Only pays on large nonconvex meshes (the scanned-room regime); None
         otherwise, and callers fall back to the dense kernels.
         """
-        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
         if not getattr(config, "USE_STAR_OCCLUSION", True):
             return None
         # The star layout serves the tracer's rain occlusion, which runs on the
@@ -434,26 +485,35 @@ class WorldStateRLR(PlacementMixin, WorldState):
 
         if not pallas_supported():
             return None  # non-TPU backends run the chunked XLA occlusion path
-        key = (tuple(np.round(np.asarray(center, float), 4)), round(float(r_pad), 4))
-        cache = getattr(self, "_star_accels", None)
-        if cache is None:
-            cache = self._star_accels = {}
-        if key not in cache:
+        cache = self._shared_cache()
+        ck = (
+            "star",
+            self._ms_key(),
+            tuple(np.round(np.asarray(center, float), 4)),
+            round(float(r_pad), 4),
+        )
+        if ck not in cache:
             from audiblelight_tpu.ops.star_occlusion import build_star_accel
 
-            cache[key] = build_star_accel(
+            cache[ck] = build_star_accel(
                 amesh.triangles.astype(np.float32), np.asarray(center), r_pad
             )
-            if cache[key] is not None:
-                logger.info(f"Built occlusion structure: {cache[key]}")
-        return cache[key]
+            if cache[ck] is not None:
+                logger.info(f"Built occlusion structure: {cache[ck]}")
+        return cache[ck]
 
     @property
     def face_props_device(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Per-face (absorption (F, B), scattering (F,), transmission (F, B))
         device arrays, sized to the ACOUSTIC mesh (the one the tail traces)."""
-        self.tris_device  # noqa: B018 — refresh fingerprint-keyed caches
-        if self._face_props_device is None:
+        cache = self._shared_cache()
+        ck = (
+            "face_props",
+            self._ms_key(),
+            str(self.material),
+            int(self.cfg.frequency_bands),
+        )
+        if ck not in cache:
             amesh = self.acoustic_mesh
             n_faces = len(amesh.faces)
             bands = octave_band_centers(int(self.cfg.frequency_bands))
@@ -474,7 +534,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
             # Diffraction is a real first-order knife-edge term on occluded
             # direct paths (rir.raytracer.diffracted_path_ir, wired in
             # get_irs); the earlier scattering-floor surrogate is gone.
-            self._face_props_device = (
+            cache[ck] = (
                 jnp.broadcast_to(
                     jnp.asarray(alpha, dtype=jnp.float32), (n_faces, len(bands))
                 ),
@@ -483,7 +543,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
                     jnp.asarray(tau, dtype=jnp.float32), (n_faces, len(bands))
                 ),
             )
-        return self._face_props_device
+        return cache[ck]
 
     def _setup_audio_context(self) -> None:
         """(Re)build the context handle for the current configuration."""
@@ -822,7 +882,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
                     r_pad = float(np.linalg.norm(caps - center, axis=1).max()) + 0.02
                     star = self.star_accel_for(center, r_pad=r_pad)
 
-            self._key, sub = jax.random.split(self._key)
+            sub = self.split_key()
             irs = trace_rirs_multi(
                 sub,
                 atris,

@@ -387,3 +387,42 @@ def test_fused_pipeline_bucket_overflow_renders_all_events(fg_dir, scan_mesh):
     assert out.shape == ref.shape
     scale = max(np.abs(ref).max(), 1e-9)
     assert np.max(np.abs(out - ref)) / scale < 5e-3
+
+
+def test_render_mix_batch_sharded_over_mesh(fg_dir, scan_mesh):
+    """Multi-chip WAV path: 8 scenes' whole-scene-to-WAV programs sharded
+    over the 8-device mesh match the single-device mix renders exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from audiblelight_tpu.pipeline import FusedSceneRenderer
+    from audiblelight_tpu.render import build_scene_plan
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.array(devs[:8]), ("scene",))
+
+    scenes = [make_scanned_scene(fg_dir, scan_mesh, seed=50 + i) for i in range(8)]
+    for s in scenes:
+        s.add_ambience(noise="gaussian")
+    plans = [
+        build_scene_plan(s, trace=False, build_ambience=False, **PLAN_KW)
+        for s in scenes
+    ]
+    renderer = FusedSceneRenderer(scenes[0], plans[0])
+    inputs = [renderer.scene_inputs(s) for s in scenes]
+    extras = [renderer.mix_args(s, p) for s, p in zip(scenes, plans)]
+
+    q_b = renderer.render_mix_batch_sharded(inputs, plans, extras, mesh)
+    assert q_b.shape[0] == 8 and q_b.dtype == np.int16
+    assert len(q_b.sharding.device_set) == 8
+
+    for i in (0, 5):
+        q1 = renderer._render_mix(
+            *inputs[i], *renderer.plan_args(plans[i]), *extras[i]
+        )
+        diff = np.abs(
+            np.asarray(q_b[i], np.int32) - np.asarray(q1, np.int32)
+        ).max()
+        assert diff <= 1, f"sharded WAV samples diverge: {diff} LSBs"
