@@ -202,7 +202,7 @@ class FusedSceneRenderer:
     tests/test_pipeline.py), not bitwise.
     """
 
-    def __init__(self, scene, plan: ScenePlan):
+    def __init__(self, scene, plan: ScenePlan, bucket_sources: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -243,10 +243,17 @@ class FusedSceneRenderer:
         # segments (interior-origin regime; see trace_rirs_multi.accel_direct)
         accel_direct = ws.grid_accel if occl else None
 
-        n_src = len(ws._emitter_positions())
-        bucket = 1
-        while bucket < n_src:
-            bucket *= 2
+        # Padded source count: defaults to the template scene's next
+        # power-of-two; callers rendering a MIX of scene layouts (the pooled
+        # SELD driver) override it so one renderer per bucket serves scenes
+        # the template itself doesn't match.
+        if bucket_sources is not None:
+            bucket = int(bucket_sources)
+        else:
+            n_src = len(ws._emitter_positions())
+            bucket = 1
+            while bucket < n_src:
+                bucket *= 2
         self._bucket = bucket
         self._mesh_id = id(ws.mesh)
         self._n_faces = int(ws.mesh.faces.shape[0])

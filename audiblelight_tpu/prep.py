@@ -51,22 +51,46 @@ class PreppedScene:
     mic_alias: str
     csv_texts: dict  # {mic_alias: csv string}
     scene_json: str
+    bucket_sources: int = 0  # padded source count this payload was packed for
 
 
-def prep_scene(scene, index: int, plan_kwargs: dict, buckets: tuple,
-               bucket_sources: int) -> PreppedScene:
-    """Compile one placed Scene into its prepped payload (host work only)."""
+def prep_scene(scene, index: int, plan_kwargs: dict, buckets: Optional[tuple] = None,
+               bucket_sources: Optional[int] = None) -> PreppedScene:
+    """Compile one placed Scene into its prepped payload (host work only).
+
+    bucket_sources=None buckets the traced source count to its own next
+    power of two — dataset runs with varying event layouts then group into a
+    few compiled programs (16/32/64 sources) instead of one worst-case
+    bucket; the driver keeps one renderer per bucket.
+    """
     import json
 
     from audiblelight_tpu.pipeline import FusedSceneRenderer, fused_inputs_host
     from audiblelight_tpu.render import build_scene_plan
     from audiblelight_tpu.synthesize import generate_dcase2024_metadata
 
+    if bucket_sources is None:
+        n_src = len(scene.state._emitter_positions())
+        bucket_sources = 1
+        while bucket_sources < n_src:
+            bucket_sources *= 2
     plan = build_scene_plan(
         scene, trace=False, device=False, build_ambience=False, **plan_kwargs
     )
+    if buckets is None:  # derive (es, em, j, S) from the plan's own shapes
+        buckets = (
+            plan.static_irs.shape[0],
+            plan.moving_irs.shape[0],
+            plan.moving_irs.shape[2],
+            int(plan.static_audio.shape[1]),
+        )
     inputs, mic_pts = fused_inputs_host(scene, buckets, bucket_sources)
     starts, amb_on, amb_beta, amb_db = FusedSceneRenderer.mix_args(scene, plan)
+    # Deferred-context scenes (add_to_context=False, the dataset-script mode)
+    # fill emitter relative coordinates lazily at trace time; the DCASE
+    # metadata needs them NOW — refresh explicitly (pure host bookkeeping).
+    if hasattr(scene.state, "_update"):
+        scene.state._update()
     csvs = {
         alias: df.to_csv(header=None)
         for alias, df in generate_dcase2024_metadata(scene).items()
@@ -84,6 +108,7 @@ def prep_scene(scene, index: int, plan_kwargs: dict, buckets: tuple,
         mic_alias=next(iter(scene.state.microphones)),
         csv_texts=csvs,
         scene_json=json.dumps(scene.to_dict()),
+        bucket_sources=int(bucket_sources),
     )
 
 
@@ -203,6 +228,11 @@ def render_prepped_scenes(
     `complete(prepped, wav_int16)` in order (WAV/CSV/JSON writes — all bytes
     are final, no float math left on the host).
 
+    `renderer` may also be a CALLABLE `renderer_for(bucket_sources) ->
+    FusedSceneRenderer`: payloads then group by their source bucket
+    (PreppedScene.bucket_sources) and each bucket renders through its own
+    compiled program — the variable-event-layout dataset regime.
+
     With `mesh` (a jax.sharding.Mesh) each group dispatches SHARDED over the
     mesh's `mesh_axis` — the multi-chip dataset path; fused_batch should be a
     multiple of the axis size (a trailing partial group falls back to
@@ -218,6 +248,16 @@ def render_prepped_scenes(
     done = 0
     errors: list = []
     work: _queue.Queue = _queue.Queue(maxsize=max_in_flight)
+
+    from audiblelight_tpu.pipeline import FusedSceneRenderer
+
+    # A FusedSceneRenderer is itself callable (__call__ renders a scene), so
+    # "factory" detection must be by type, not callable()
+    if isinstance(renderer, FusedSceneRenderer):
+        fixed = renderer
+        renderer_for = lambda bucket: fixed  # noqa: E731
+    else:
+        renderer_for = renderer
 
     def _worker():
         nonlocal done
@@ -239,41 +279,47 @@ def render_prepped_scenes(
     thread = threading.Thread(target=_worker, daemon=True)
     thread.start()
 
-    ws = renderer._ws
     group: list = []
+    group_bucket: Optional[int] = None
 
-    def _dispatch(group):
+    def _dispatch(group, bucket):
+        r = renderer_for(bucket)
+        ws = r._ws
         inputs = []
         for p in group:
             face_occ = (
-                ws.rain_occlusion_for(p.mic_pts)
-                if renderer._occl
-                else _zero_occ(renderer)
+                ws.rain_occlusion_for(p.mic_pts) if r._occl else _zero_occ(r)
             )
             inputs.append(p.inputs[:3] + (face_occ,) + p.inputs[3:])
         extras = [(p.starts,) + p.amb for p in group]
         plans = [_PlanView(p.plan_fields) for p in group]
         if mesh is not None and len(group) % mesh.shape[mesh_axis] == 0:
-            return renderer.render_mix_batch_sharded(
-                inputs, plans, extras, mesh, mesh_axis
-            )
-        return renderer.render_mix_batch(inputs, plans, extras)
+            return r.render_mix_batch_sharded(inputs, plans, extras, mesh, mesh_axis)
+        return r.render_mix_batch(inputs, plans, extras)
+
+    def _emit(group, bucket):
+        q = _dispatch(group, bucket)
+        try:
+            q.copy_to_host_async()
+        except (AttributeError, NotImplementedError):  # pragma: no cover
+            pass
+        work.put((group, q))
+        if errors:
+            raise errors[0]
 
     try:
         for prepped in prepped_iter:
+            bucket = getattr(prepped, "bucket_sources", 0)
+            if group and bucket != group_bucket:
+                _emit(group, group_bucket)
+                group = []
+            group_bucket = bucket
             group.append(prepped)
             if len(group) == fused_batch:
-                q = _dispatch(group)
-                try:
-                    q.copy_to_host_async()
-                except (AttributeError, NotImplementedError):  # pragma: no cover
-                    pass
-                work.put((group, q))
-                if errors:
-                    raise errors[0]
+                _emit(group, group_bucket)
                 group = []
         if group:  # trailing partial group (one extra compile at that size)
-            work.put((group, _dispatch(group)))
+            _emit(group, group_bucket)
         work.join()
         if errors:
             raise errors[0]

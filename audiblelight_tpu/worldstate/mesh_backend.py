@@ -237,7 +237,11 @@ class WorldStateRLR(PlacementMixin, WorldState):
             cpu0 = self._cpu_device = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu0):
             self._key, sub = jax.random.split(self._key)
-        return sub
+        # Return NUMPY, never the committed-CPU jax array: one committed-cpu
+        # operand among a jit call's inputs silently pins the WHOLE program to
+        # the CPU backend (where the Pallas tracer kernels cannot lower) —
+        # this is exactly how trace_irs_device broke on accelerator hosts.
+        return np.asarray(sub)
 
     # ------------------------------------------------------------------
     # Engine config / context

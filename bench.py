@@ -178,7 +178,8 @@ def make_prep(fg_root, simplify, plan_kwargs, buckets, bucket_sources):
     return prep
 
 
-def run_production_pooled(mesh, fg_root, out_dir: Path, n_scenes, seed0, workers):
+def run_production_pooled(mesh, fg_root, out_dir: Path, n_scenes, seed0, workers,
+                          device_mesh=None):
     """The pooled production pipeline: worker processes place + pack scenes,
     the device runs the whole-scene-to-WAV program (trace + stems + timeline
     + ambience + int16), the main process writes final bytes. workers=0 runs
@@ -217,13 +218,19 @@ def run_production_pooled(mesh, fg_root, out_dir: Path, n_scenes, seed0, workers
         # run amortises away; one throwaway prep per worker forces it now.
         for _ in pool.imap([(-1 - k, seed0 - 100 - k) for k in range(max(workers, 1))]):
             pass
+        fb = 4
+        if device_mesh is not None:
+            n_dev = int(device_mesh.shape["scene"])
+            fb = max(fb, n_dev)
+            fb -= fb % n_dev
         t0 = time.time()
         n = render_prepped_scenes(
             renderer,
             pool.imap([(i, seed0 + i) for i in range(n_scenes)]),
             complete,
-            fused_batch=4,
+            fused_batch=fb,
             max_in_flight=8,
+            mesh=device_mesh,
         )
         elapsed = time.time() - t0
     assert n == n_scenes
@@ -298,9 +305,34 @@ def measure_rt60(mesh, fg_root, seed0):
 
 
 def main():
+    import argparse
     import os
 
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--mesh-devices", type=int, default=1,
+        help="shard the production pipeline's scene batches over this many "
+        "accelerator devices (jax.sharding.Mesh data parallelism); the "
+        "headline per-chip metric always measures one chip",
+    )
+    parser.add_argument(
+        "--coordinator", type=str, default=None,
+        help="host:port of the jax.distributed coordinator (multi-host runs; "
+        "use with --num-processes/--process-id)",
+    )
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    cli = parser.parse_args()
+
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    if cli.coordinator is not None:
+        from audiblelight_tpu.parallel import init_distributed
+
+        init_distributed(
+            coordinator_address=cli.coordinator,
+            num_processes=cli.num_processes,
+            process_id=cli.process_id,
+        )
     import jax
 
     try:
@@ -319,8 +351,10 @@ def main():
     scan = scanned_like_room(extents=tuple(ROOM), seed=0)
     box = box_mesh(extents=ROOM.tolist(), center=(ROOM / 2).tolist())
 
-    # ---- warmup: compile every program (trace bucket, stems, occlusion table)
+    # ---- warmup: compile every program (trace bucket, stems, occlusion
+    # table, and the pooled driver's whole-scene-to-WAV mix program)
     run_production(scan, fg_root, out_dir, N_WARMUP, seed0=9000)
+    run_production_pooled(scan, fg_root, out_dir, N_WARMUP, seed0=9500, workers=0)
 
     # ---- full production pipeline: scanned room, occlusion on --------------
     # Pooled path (prep.ScenePrepPool + whole-scene-to-WAV device program):
@@ -329,11 +363,21 @@ def main():
     # the measured curve below shows the 1-core wall directly.
     cores = os.cpu_count() or 1
     auto_workers = max(0, min(cores - 1, 8))
+    device_mesh = None
+    if cli.mesh_devices > 1:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < cli.mesh_devices:
+            raise SystemExit(
+                f"--mesh-devices {cli.mesh_devices} but only {len(devs)} devices"
+            )
+        device_mesh = Mesh(np.array(devs[: cli.mesh_devices]), ("scene",))
     rates = []
     for r in range(N_RUNS):
         elapsed = run_production_pooled(
             scan, fg_root, out_dir, N_MEASURE, seed0=1000 + 100 * r,
-            workers=auto_workers,
+            workers=auto_workers, device_mesh=device_mesh,
         )
         rates.append(N_MEASURE * SCENE_SECONDS / elapsed)
     pipeline_value = statistics.median(rates)

@@ -21,6 +21,7 @@ performs IO.
 
 import argparse
 import sys
+from collections import OrderedDict
 from pathlib import Path
 
 import numpy as np
@@ -328,7 +329,177 @@ def generate_fused(args, jobs, rng: np.random.Generator) -> None:
         ),
         fused=True,
         fused_batch=args.fused_batch,
+        # Whole-scene-to-WAV device program (stems placed + ambience + int16
+        # on device); scenes it cannot serve fall back transparently.
+        device_mix=args.device_mix,
     )
+
+
+def _pooled_plan_kwargs(args):
+    def bucket(n):
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+
+    return dict(
+        max_static=bucket(max(args.max_events_static, 1)),
+        max_moving=bucket(max(args.max_events_moving, 1)),
+        max_traj=32,
+        pad_audio_seconds=config.MAX_EVENT_DURATION,
+    )
+
+
+def make_pooled_prep(args_dict, jobs, plan_kwargs):
+    """Worker-side builder for the scene-prep pool (prep.ScenePrepPool).
+
+    Each worker resolves the job table once; per task it places + packs one
+    scene with its OWN per-job rng seed — pooled runs are therefore
+    reproducible independent of worker count (the serial path's shared rng
+    stream is order-dependent by construction).
+    """
+    import argparse as _argparse
+
+    from audiblelight_tpu.prep import prep_scene
+
+    args = _argparse.Namespace(**args_dict)
+
+    def prep(index, seed):
+        split, scene_num, room, scape = jobs[index]
+        # Per-JOB seeding of the global streams too: the Scene's scipy
+        # placement distributions draw from numpy's global RNG, so without
+        # this every run (and every worker interleaving) places differently.
+        utils.seed_everything(int(seed) % (2**31))
+        rng = np.random.default_rng(seed)
+        built = build_scene(args, split, scene_num, scape, rng, room=room)
+        if built is None:  # outputs appeared since the main-process scan
+            return None
+        scene, _, _ = built
+        return prep_scene(scene, index, plan_kwargs)
+
+    return prep
+
+
+def generate_pooled(args, jobs, rng: np.random.Generator) -> None:
+    """Scale-out dataset driver: worker-pool placement (--placement-workers)
+    feeding the whole-scene-to-WAV device program, optionally SHARDED over a
+    device mesh (--mesh-devices N; --coordinator for multi-host clusters).
+    Replaces the reference's serial per-scene loop
+    (reference scripts/seld/generate_dataset.py:330-376). rlr backend only.
+    """
+    import json
+
+    from audiblelight_tpu.io.audio import wav_write
+    from audiblelight_tpu.pipeline import FusedSceneRenderer
+    from audiblelight_tpu.prep import (
+        ScenePrepPool,
+        render_prepped_scenes,
+    )
+    from audiblelight_tpu.render import build_scene_plan
+
+    if args.backend != "rlr":
+        raise SystemExit("--placement-workers/--mesh-devices require --backend rlr")
+
+    plan_kwargs = _pooled_plan_kwargs(args)
+
+    # Resume filter + per-job paths (the workers skip this bookkeeping)
+    live_jobs, paths, seeds = [], {}, {}
+    for job in jobs:
+        split, scene_num, room, scape = job
+        fold = 1 if split == "train" else 2
+        common = f"dev-{split}-alight/fold{fold}_scene{scene_num}_{str(scape).zfill(3)}"
+        audio_path = Path(args.output_dir) / f"{args.channel_layout}_dev/{common}"
+        metadata_path = Path(args.output_dir) / f"metadata_dev/{common}"
+        wav_out = audio_path.parent / f"{audio_path.name}_mic000.wav"
+        csv_out = metadata_path.parent / f"{metadata_path.name}_mic000.csv"
+        seed = int(rng.integers(2**31))  # drawn per job, even for skipped ones
+        if wav_out.is_file() and csv_out.is_file():
+            logger.warning(f"Skipping existing scene {common}")
+            continue
+        audio_path.parent.mkdir(parents=True, exist_ok=True)
+        metadata_path.parent.mkdir(parents=True, exist_ok=True)
+        idx = len(live_jobs)
+        live_jobs.append(job)
+        paths[idx] = (audio_path, metadata_path)
+        seeds[idx] = seed
+
+    if not live_jobs:
+        return
+
+    mesh = None
+    if args.mesh_devices > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.mesh_devices:
+            raise SystemExit(
+                f"--mesh-devices {args.mesh_devices} but only {len(devs)} devices"
+            )
+        mesh = Mesh(np.array(devs[: args.mesh_devices]), ("scene",))
+
+    def complete(prepped, wav):
+        audio_path, metadata_path = paths[prepped.index]
+        wav_write(
+            audio_path.parent / f"{audio_path.name}_{prepped.mic_alias}.wav",
+            wav, SAMPLE_RATE, subtype="int16",
+        )
+        for mic, text in prepped.csv_texts.items():
+            (metadata_path.parent / f"{metadata_path.name}_{mic}.csv").write_text(text)
+        (metadata_path.with_suffix(".json")).write_text(prepped.scene_json)
+
+    args_dict = dict(vars(args))
+    fused_batch = args.fused_batch
+    if mesh is not None:  # group size must divide the mesh axis
+        n_dev = int(mesh.shape["scene"])
+        fused_batch = max(fused_batch, n_dev)
+        fused_batch -= fused_batch % n_dev
+
+    # Room groups: each FusedSceneRenderer bakes ONE room's geometry into its
+    # compiled program, so jobs are driven room by room (workers handle any
+    # room — the job table tells them which mesh to build per task).
+    room_groups: "OrderedDict" = OrderedDict()
+    for idx, job in enumerate(live_jobs):
+        room_groups.setdefault(job[2], []).append(idx)
+
+    total = 0
+    with ScenePrepPool(
+        "generate_dataset:make_pooled_prep",
+        dict(args_dict=args_dict, jobs=live_jobs, plan_kwargs=plan_kwargs),
+        workers=args.placement_workers,
+    ) as pool:
+        for room, indices in room_groups.items():
+            # Template scene pins this room's mesh/mic/engine identity; one
+            # renderer per source bucket shares it.
+            t_split, t_scene_num, t_room, t_scape = live_jobs[indices[0]]
+            utils.seed_everything(int(seeds[indices[0]]) % (2**31))
+            t_rng = np.random.default_rng(seeds[indices[0]])
+            built = build_scene(
+                args, t_split, t_scene_num, t_scape, t_rng, room=t_room
+            )
+            if built is None:
+                raise RuntimeError(f"template scene build failed for room {room}")
+            template_scene, _, _ = built
+            template_plan = build_scene_plan(
+                template_scene, trace=False, build_ambience=False, **plan_kwargs
+            )
+            renderers = {}
+
+            def renderer_for(bucket, _s=template_scene, _p=template_plan, _r=renderers):
+                r = _r.get(bucket)
+                if r is None:
+                    r = _r[bucket] = FusedSceneRenderer(_s, _p, bucket_sources=bucket)
+                return r
+
+            prepped = (
+                p for p in pool.imap([(i, seeds[i]) for i in indices])
+                if p is not None
+            )
+            total += render_prepped_scenes(
+                renderer_for, prepped, complete,
+                fused_batch=fused_batch, mesh=mesh,
+            )
+    logger.warning(f"Pooled driver rendered {total} scenes")
 
 
 def main():
@@ -405,10 +576,51 @@ def main():
         "traces (~40%% faster bounce loop, adds bounded late-tail Monte-Carlo "
         "noise); default off = the reference rlr behaviour",
     )
+    parser.add_argument(
+        "--device-mix", action=argparse.BooleanOptionalAction, default=True,
+        help="render the COMPLETE WAV on device (stem placement + ambience "
+        "bed + int16) in the fused pipeline; scenes with file-based or "
+        "multiple ambiences fall back to the host-mix path automatically",
+    )
+    parser.add_argument(
+        "--placement-workers", type=int, default=0,
+        help="scene-prep worker PROCESSES (placement, audio load, metadata) "
+        "feeding the device; 0 = inline. >0 selects the pooled driver "
+        "(rlr backend only), whose per-job rng seeding is reproducible "
+        "independent of worker count",
+    )
+    parser.add_argument(
+        "--mesh-devices", type=int, default=1,
+        help="shard each scene batch over this many accelerator devices "
+        "(jax.sharding.Mesh data parallelism); 1 = single device",
+    )
+    parser.add_argument(
+        "--coordinator", type=str, default=None,
+        help="host:port of the jax.distributed coordinator for multi-host "
+        "runs (use with --num-processes/--process-id)",
+    )
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
     if args.pipeline is None:
         args.pipeline = "fused" if args.backend == "rlr" else "compiled"
 
+    if args.coordinator is not None:
+        # Multi-host cluster: rendezvous BEFORE any backend touch, then
+        # jax.devices() spans every host's chips and --mesh-devices may
+        # address the global device count.
+        from audiblelight_tpu.parallel import init_distributed
+
+        init_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    # Seed the GLOBAL streams as well: the Scene's scipy placement
+    # distributions draw from numpy's global RNG (same discipline as the
+    # reference's utils.seed_everything at reference utils.py:80).
+    utils.seed_everything(args.seed)
     rng = np.random.default_rng(args.seed)
 
     if args.assets is not None:
@@ -433,6 +645,12 @@ def main():
         jobs = [("train", 1, None, i) for i in range(n_train)] + [
             ("test", 1, None, i) for i in range(args.n_scenes - n_train)
         ]
+
+    if args.placement_workers > 0 or args.mesh_devices > 1:
+        # Scale-out driver: worker-pool placement + (optionally) a device
+        # mesh. Replaces the serial loop AND the single-device fused path.
+        generate_pooled(args, jobs, rng)
+        return
 
     if args.pipeline == "fused":
         if args.backend != "rlr":
