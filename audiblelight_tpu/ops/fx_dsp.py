@@ -15,8 +15,45 @@ reference's test strategy also never asserts bit-exactly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from scipy import signal as ssignal
+
+# Heavy kernels (biquads, dynamics, phase vocoder) can dispatch to the jitted
+# JAX implementations in ops.fx_jax. Policy (AUDIBLELIGHT_FX_BACKEND):
+#   auto (default): JAX only when an ACCELERATOR backs jax.default_backend() —
+#       measured on a 1-core host, XLA:CPU loses to numpy on every kernel
+#       (associative_scan ~20x slower than lfilter), while on TPU the batched
+#       FFT/scan programs win and overlap with the render pipeline;
+#   jax:   always (parity tests, CPU-mesh sharding tests);
+#   numpy: never (the oracle path).
+# Re-read per call so tests can flip backends with monkeypatch.setenv.
+
+_AUTO_ACCEL: list = []  # memoised jax.default_backend() != "cpu"
+
+
+def _jax_fx():
+    """The fx_jax module when the JAX backend is selected, else None."""
+    mode = os.environ.get("AUDIBLELIGHT_FX_BACKEND", "auto").lower()
+    if mode == "numpy":
+        return None
+    if mode != "jax":  # auto
+        if not _AUTO_ACCEL:
+            try:
+                import jax
+
+                _AUTO_ACCEL.append(jax.default_backend() != "cpu")
+            except Exception:  # pragma: no cover
+                _AUTO_ACCEL.append(False)
+        if not _AUTO_ACCEL[0]:
+            return None
+    try:
+        from audiblelight_tpu.ops import fx_jax
+
+        return fx_jax
+    except ImportError:  # pragma: no cover - jax is baked into every env
+        return None
 
 # ---------------------------------------------------------------------------
 # Biquad filters (RBJ audio EQ cookbook)
@@ -75,6 +112,9 @@ def _biquad_coeffs(kind: str, sr: float, freq: float, q: float = 0.7071, gain_db
 def biquad(audio: np.ndarray, kind: str, sr: float, freq: float, q: float = 0.7071, gain_db: float = 0.0) -> np.ndarray:
     """Apply a single RBJ biquad along the last axis."""
     b, a = _biquad_coeffs(kind, sr, freq, q, gain_db)
+    fx = _jax_fx()
+    if fx is not None:
+        return fx.biquad(audio, b, a).astype(audio.dtype, copy=False)
     return ssignal.lfilter(b, a, audio, axis=-1).astype(audio.dtype, copy=False)
 
 
@@ -105,6 +145,10 @@ def compress(
     Level detection with attack smoothing; static gain curve
     g = (threshold - level) * (1 - 1/ratio) above threshold; release-smoothed gain.
     """
+    fx = _jax_fx()
+    if fx is not None:
+        out = fx.compress(audio, sr, threshold_db, ratio, attack_ms, release_ms)
+        return out.astype(audio.dtype, copy=False)
     eps = 1e-10
     level = _smooth(np.abs(audio), _ms_to_coeff(attack_ms, sr))
     level_db = 20.0 * np.log10(level + eps)
@@ -318,6 +362,9 @@ def time_stretch(audio: np.ndarray, rate: float, nfft: int = 2048, hop: int = 51
     """Phase-vocoder time stretch: rate > 1 speeds up (shortens) the audio."""
     if rate == 1.0:
         return audio
+    fx = _jax_fx()
+    if fx is not None and nfft == 2048 and hop == 512:
+        return fx.time_stretch(audio, rate)
     mono = audio.ndim == 1
     x = audio[None, :] if mono else audio
 
@@ -368,6 +415,9 @@ def pitch_shift(audio: np.ndarray, sr: float, semitones: float) -> np.ndarray:
     """Pitch shift via time stretch + resample (constant duration)."""
     if semitones == 0:
         return audio
+    fx = _jax_fx()
+    if fx is not None:
+        return fx.pitch_shift(audio, sr, semitones)
     factor = 2.0 ** (semitones / 12.0)
     stretched = time_stretch(audio, 1.0 / factor)
     from math import gcd
