@@ -290,11 +290,20 @@ class MonoCapsule(MicArray):
 
 @dataclass(repr=False, eq=False)
 class Binaural(MicArray):
-    """Binaural "capsule": a single listener rendered to 2 channels (left, right)."""
+    """Binaural "capsule": a single listener rendered to 2 channels (left, right).
+
+    With `hrtf_sofa` set to a SimpleFreeFieldHRIR SOFA path, rendering uses
+    the measured HRIR set (direct path: full interpolated HRIR; stochastic
+    tail: per-band |H_ear|^2 — see rir.hrtf), matching the reference rlr
+    engine's measured-HRTF binaural ChannelLayout (reference
+    micarrays.py:68-86). Without a file, the analytic Brown-Duda
+    spherical-head model (rir.sh) is the fallback.
+    """
 
     name: str = "binaural"
     is_spherical: bool = False
     channel_layout_type: str = "binaural"
+    hrtf_sofa: str = None
 
     @property
     def coordinates_cartesian(self) -> np.ndarray:
@@ -303,6 +312,24 @@ class Binaural(MicArray):
     @property
     def capsule_names(self) -> list[str]:
         return ["left", "right"]
+
+    def to_dict(self) -> dict:
+        out = super().to_dict()
+        if self.hrtf_sofa is not None:
+            out["hrtf_sofa"] = str(self.hrtf_sofa)
+        return out
+
+    def load_hrtf(self, sample_rate: int):
+        """The measured HRTFSet at `sample_rate`, or None (no file configured).
+
+        Cached per (path, rate) in rir.hrtf.load_hrtf_sofa, so repeated
+        renders share one device copy.
+        """
+        if not self.hrtf_sofa:
+            return None
+        from audiblelight_tpu.rir.hrtf import load_hrtf_sofa
+
+        return load_hrtf_sofa(str(self.hrtf_sofa), int(sample_rate))
 
 
 @dataclass(repr=False, eq=False)

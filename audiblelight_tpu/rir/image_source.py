@@ -67,6 +67,7 @@ def shoebox_rirs(
     c: float = config.SPEED_OF_SOUND,
     encoding: str = "omni",
     chunk: int = 1024,
+    hrtf=None,
 ) -> jnp.ndarray:
     """Compute shoebox RIRs for all (listener, source) pairs.
 
@@ -196,7 +197,23 @@ def shoebox_rirs(
             spec_add = jnp.sum(contrib, axis=2)  # (C, E, F)
         else:
             dirs = vec / jnp.maximum(dist[..., None], 1e-9)  # (1, E, chunk, 3)
-            if encoding == "binaural":
+            if encoding == "binaural" and hrtf is not None:
+                # Measured HRIR per image (rir.hrtf): blend the 3 nearest
+                # HRIRs in the time domain (short: N ~ a few hundred taps),
+                # then apply each ear's full spectrum to the image's
+                # frequency-resolved contribution — per ear sequentially to
+                # bound the (E, chunk, F) live set.
+                u = dirs[0]  # (E, chunk, 3) receiver->source
+                idx, wgt = hrtf.interp_weights(u)  # (E, chunk, K)
+                ears = []
+                for ear in range(2):
+                    h_t = jnp.einsum(
+                        "eck,eckn->ecn", wgt, hrtf.hrirs[idx][..., ear, :]
+                    )  # (E, chunk, N)
+                    h = jnp.fft.rfft(h_t, n=n_samples, axis=-1)  # (E, chunk, F)
+                    ears.append(jnp.sum(contrib[0] * h, axis=1))  # (E, F)
+                spec_add = jnp.stack(ears)  # (2, E, F)
+            elif encoding == "binaural":
                 # Spherical-head model per image: Brown-Duda shadow magnitude
                 # + Woodworth ITD phase on the full frequency grid — the same
                 # encoding the ray tracer's binaural paths use, so the ISM

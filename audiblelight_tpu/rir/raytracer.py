@@ -196,6 +196,7 @@ def trace_energy_histogram(
     face_occlusion: jnp.ndarray = None,
     sh_order: int = 1,
     decimate: bool = False,
+    hrtf=None,
 ) -> jnp.ndarray:
     """Trace rays from one source; return per-channel per-band energy histograms.
 
@@ -263,6 +264,13 @@ def trace_energy_histogram(
 
     hist0 = jnp.zeros((c_out, n_bands, n_bins), dtype=jnp.float32)
     band_freqs = _band_centers(n_bands)
+    # Measured-HRTF binaural: per-direction band powers, computed ONCE outside
+    # the bounce loop (loop-invariant; see rir.hrtf).
+    hrtf_bp = (
+        hrtf.band_powers(band_freqs)
+        if (hrtf is not None and encoding == "binaural")
+        else None
+    )
     keys = jax.random.split(key, max_depth)
     mxu_tables = _mxu_tables_for(tris, accel, mesh_tiles)
 
@@ -365,10 +373,15 @@ def trace_energy_histogram(
                 # direct path passes source - listener); dir_l is the
                 # propagation direction listener <- hit.
                 if encoding == "binaural":
-                    # spherical-head shadow: per-BAND [L, R] gains (the
-                    # physical ILD tilt; the reference rlr engine renders
-                    # binaural with measured HRTFs — see rir.sh)
-                    gains = spherical_head_gains(-dir_l[0], band_freqs) ** 2
+                    if hrtf_bp is not None:
+                        # measured HRTF set: band-averaged |H_ear|^2 gathered
+                        # at the arrival direction (rir.hrtf — the rlr
+                        # engine's measured-HRTF ChannelLayout behaviour)
+                        gains = hrtf.band_power_at(-dir_l[0], hrtf_bp)
+                    else:
+                        # spherical-head shadow fallback: per-BAND [L, R]
+                        # gains (the physical ILD tilt — see rir.sh)
+                        gains = spherical_head_gains(-dir_l[0], band_freqs) ** 2
                     weighted = deposit[0][:, None, :] * gains  # (R, 2, B)
                 else:
                     # foa / sh{N}: ambisonic gains at the tail's encode order
@@ -621,7 +634,7 @@ def _linear_phase(delay_samp: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
-def _binaural_direct_ir(dirs, amp, dist, n_samples, sr, c):
+def _binaural_direct_ir(dirs, amp, dist, n_samples, sr, c, hrtf=None):
     """Exact binaural direct path: per-ear Woodworth ITD + spherical-head
     shadow magnitude on the full rfft grid, synthesised linear-phase.
 
@@ -632,8 +645,26 @@ def _binaural_direct_ir(dirs, amp, dist, n_samples, sr, c):
     outside [0, n_samples) are dropped (matching the windowed-sinc paths'
     in-range mask — a cyclic irfft would otherwise wrap them around).
 
+    With a measured `hrtf` set (rir.hrtf.HRTFSet), the interpolated HRIR's
+    full complex spectrum replaces the analytic magnitude+ITD pair: the
+    direct path then carries the measured ITD, ILD and pinna cues exactly
+    (the reference rlr engine's measured-HRTF binaural rendering,
+    reference micarrays.py:68-86).
+
     Returns (E, 2, n_samples).
     """
+    if hrtf is not None:
+        h = hrtf.hrirs_at(dirs)  # (E, 2, N) at engine sr
+        n_h = h.shape[-1]
+        delay_samp = dist[:, None] * (sr / c)  # (E, 1) head-centre delay
+        in_range = (delay_samp >= 0.0) & (delay_samp < n_samples - n_h)
+        h_spec = jnp.fft.rfft(h, n=n_samples, axis=-1)  # (E, 2, F)
+        spec = (
+            (amp[:, None] * in_range).astype(jnp.complex64)[..., None]
+            * h_spec
+            * _linear_phase(jnp.broadcast_to(delay_samp, h.shape[:2]), n_samples)
+        )
+        return jnp.fft.irfft(spec, n=n_samples, axis=-1).astype(jnp.float32)
     n_freq = n_samples // 2 + 1
     freqs = jnp.arange(n_freq) * (sr / n_samples)
     mag = spherical_head_gains(dirs, freqs)  # (E, 2, F) amplitude gains
@@ -659,17 +690,20 @@ def direct_path_ir(
     encoding: str = "omni",
     accel=None,
     sh_order: int = 3,
+    hrtf=None,
 ) -> jnp.ndarray:
     """Exact direct-path contribution for ONE source: windowed-sinc impulse at
     delay d/c with amplitude visibility/(4 pi d), encoded per channel. For
     ambisonic encodings ("foa"/"sh{N}") the direct path is encoded at
     `sh_order` (clipped to the layout's order) — the reference rlr config's
     `direct_sh_order` semantics; binaural uses the spherical-head ITD +
-    shadow. Thin wrapper over the batched direct_paths_ir so the
-    occlusion/sinc/encode math exists ONCE. Returns (C_out, n_samples)."""
+    shadow (or a measured HRTF set when `hrtf` is given — rir.hrtf). Thin
+    wrapper over the batched direct_paths_ir so the occlusion/sinc/encode
+    math exists ONCE. Returns (C_out, n_samples)."""
     return direct_paths_ir(
         tris, jnp.atleast_2d(source_pos), listener_pos, n_samples,
         sr=sr, c=c, encoding=encoding, accel=accel, sh_order=sh_order,
+        hrtf=hrtf,
     )[0]
 
 
@@ -684,6 +718,7 @@ def direct_paths_ir(
     encoding: str = "omni",
     accel=None,
     sh_order: int = 3,
+    hrtf=None,
 ) -> jnp.ndarray:
     """direct_path_ir for a BATCH of sources with ONE occlusion query.
 
@@ -710,7 +745,9 @@ def direct_paths_ir(
     amp = (~occ) / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))  # (E, C)
 
     if encoding == "binaural":
-        return _binaural_direct_ir(dirs[:, 0, :], amp[:, 0], d[:, 0], n_samples, sr, c)
+        return _binaural_direct_ir(
+            dirs[:, 0, :], amp[:, 0], d[:, 0], n_samples, sr, c, hrtf=hrtf
+        )
     if encoding != "omni":
         gains = _ambi_gains(dirs[:, 0, :], sh_order, encoding)  # (E, C_out)
         amps = amp[:, 0:1] * gains
@@ -753,6 +790,7 @@ def diffracted_path_ir(
     sh_order: int = 3,
     n_angles: int = 16,
     n_radii: int = 12,
+    hrtf=None,
 ) -> jnp.ndarray:
     """First-order edge-diffraction contribution for an OCCLUDED direct path.
 
@@ -866,6 +904,11 @@ def diffracted_path_ir(
     dirs = (bend[None] - listener_pos)  # (1, 3)
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
     if encoding == "binaural":
+        if hrtf is not None:
+            # Measured HRIR spectrum at the bend arrival direction (rir.hrtf)
+            h_spec = jnp.fft.rfft(hrtf.hrirs_at(dirs)[0], n=n_samples, axis=-1)
+            spec_ear = spec[0:1] * h_spec
+            return jnp.fft.irfft(spec_ear, n=n_samples, axis=-1).astype(jnp.float32)
         # The spectrum is already frequency-resolved: apply the spherical-head
         # shadow magnitude and per-ear Woodworth ITD phase directly (see
         # _binaural_direct_ir).
@@ -951,6 +994,7 @@ def trace_rirs(
     sh_order_direct: int = 3,
     sh_order_indirect: int = 1,
     decimate: bool = False,
+    hrtf=None,
 ) -> jnp.ndarray:
     """Full RIR for one source: stochastic tail + exact direct path.
 
@@ -987,6 +1031,7 @@ def trace_rirs(
         face_occlusion=face_occlusion,
         sh_order=sh_order_indirect,
         decimate=decimate,
+        hrtf=hrtf,
     )
     band_freqs = _band_centers(face_absorption.shape[1])
     tail = synthesize_ir_from_histogram(
@@ -995,7 +1040,7 @@ def trace_rirs(
     direct = direct_path_ir(
         tris if tris_direct is None else tris_direct,
         source_pos, listener_pos, n_samples, sr=sr, c=c, encoding=encoding,
-        accel=accel, sh_order=sh_order_direct,
+        accel=accel, sh_order=sh_order_direct, hrtf=hrtf,
     )
     return tail + direct
 
@@ -1035,6 +1080,7 @@ def trace_energy_histogram_multi(
     face_occlusion: jnp.ndarray = None,
     sh_order: int = 1,
     decimate: bool = False,
+    hrtf=None,
 ) -> jnp.ndarray:
     """Energy histograms for E sources traced TOGETHER in one wavefront.
 
@@ -1080,6 +1126,12 @@ def trace_energy_histogram_multi(
 
     hist0 = jnp.zeros((n_sources, c_out, n_bands, n_bins), dtype=jnp.float32)
     band_freqs = _band_centers(n_bands)
+    # Measured-HRTF binaural: loop-invariant band-power table (rir.hrtf)
+    hrtf_bp = (
+        hrtf.band_powers(band_freqs)
+        if (hrtf is not None and encoding == "binaural")
+        else None
+    )
     keys = jax.random.split(key, max_depth)
     mxu_tables = _mxu_tables_for(tris, accel, mesh_tiles)
 
@@ -1209,9 +1261,14 @@ def trace_energy_histogram_multi(
                 # receiver->source arrival vector = -dir_l (see the
                 # single-source tracer's note)
                 if encoding == "binaural":
-                    # per-band spherical-head shadow (see the single-source
-                    # tracer's note)
-                    gains = spherical_head_gains(-dir_l[0], band_freqs) ** 2
+                    if hrtf_bp is not None:
+                        # measured per-band |H_ear|^2 (see the single-source
+                        # tracer's note; rir.hrtf)
+                        gains = hrtf.band_power_at(-dir_l[0], hrtf_bp)
+                    else:
+                        # per-band spherical-head shadow (see the
+                        # single-source tracer's note)
+                        gains = spherical_head_gains(-dir_l[0], band_freqs) ** 2
                     weighted = deposit[0][:, None, :] * gains  # (TR, 2, B)
                 else:
                     gains = _ambi_gains(-dir_l[0], sh_order, encoding)  # (TR, C_out)
@@ -1307,6 +1364,7 @@ def trace_rirs_multi(
     diffraction: bool = False,
     accel_direct=None,
     decimate: bool = False,
+    hrtf=None,
 ) -> jnp.ndarray:
     """RIRs for a batch of sources against one listener group.
 
@@ -1355,6 +1413,7 @@ def trace_rirs_multi(
         face_occlusion=face_occlusion,
         sh_order=sh_order_indirect,
         decimate=decimate,
+        hrtf=hrtf,
     )  # (E, C_out, B, bins)
 
     band_freqs = _band_centers(face_absorption.shape[1])
@@ -1369,7 +1428,7 @@ def trace_rirs_multi(
     a_dir = accel_direct if accel_direct is not None else accel
     directs = direct_paths_ir(
         td, source_positions, listener_pos, n_samples, sr=sr, c=c,
-        encoding=encoding, accel=a_dir, sh_order=sh_order_direct,
+        encoding=encoding, accel=a_dir, sh_order=sh_order_direct, hrtf=hrtf,
     )  # (E, C_out, S)
 
     if diffraction:
@@ -1377,6 +1436,7 @@ def trace_rirs_multi(
             lambda src: diffracted_path_ir(
                 td, src, listener_pos, band_freqs, n_samples, sr=sr, c=c,
                 encoding=encoding, accel=a_dir, sh_order=sh_order_direct,
+                hrtf=hrtf,
             )
         )(source_positions)
 

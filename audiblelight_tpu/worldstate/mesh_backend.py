@@ -822,7 +822,13 @@ class WorldStateRLR(PlacementMixin, WorldState):
             str(getattr(self, "material", None)),
             tuple(np.round(self._emitter_positions().ravel(), 6).tolist()),
             tuple(
-                (a, m.name, tuple(np.round(np.ravel(m.coordinates_absolute), 6).tolist()))
+                (
+                    a,
+                    m.name,
+                    tuple(np.round(np.ravel(m.coordinates_absolute), 6).tolist()),
+                    # Measured-HRTF binaural: a changed SOFA path must retrace
+                    str(getattr(m, "hrtf_sofa", None)),
+                )
                 for a, m in self.microphones.items()
             ),
         )
@@ -866,6 +872,12 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 encoding = {
                     "foa": "foa", "hoa2": "sh2", "hoa3": "sh3",
                 }.get(mic.channel_layout_type, "binaural")
+
+            # Measured-HRTF binaural (micarrays.Binaural.hrtf_sofa): loads
+            # once per (path, rate) and rides the trace as a pytree arg
+            hrtf = None
+            if encoding == "binaural" and getattr(mic, "hrtf_sofa", None):
+                hrtf = mic.load_hrtf(self.sample_rate)
 
             caps = np.atleast_2d(np.asarray(
                 utils.coerce2d(mic.coordinates_absolute), dtype=np.float64
@@ -936,6 +948,7 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 # rir.raytracer.decimation_phases): unbiased ray thinning at
                 # static bounce breakpoints
                 decimate=bool(self.cfg.ray_decimation),
+                hrtf=hrtf,
             )
             out[alias] = irs[:, :n_src, :]  # drop bucketing dummies (on device)
         self._irs_device_cache = (cache_key, out)

@@ -11,6 +11,7 @@ a handful of batched kernel calls.
 
 from __future__ import annotations
 
+import copy
 from typing import Optional, Type, Union
 
 import numpy as np
@@ -19,6 +20,16 @@ from audiblelight_tpu import config, custom_types, utils
 from audiblelight_tpu.micarrays import MicArray, sanitize_microphone_input
 from audiblelight_tpu.utils import logger
 from audiblelight_tpu.worldstate.base import Emitter
+
+def _mic_factory(microphone_type):
+    """Zero-arg factory for a microphone input: classes/strings resolve through
+    sanitize_microphone_input; a configured INSTANCE (e.g. a Binaural carrying
+    hrtf_sofa) is preserved by deepcopy so per-instance settings survive —
+    the class-only coercion would silently drop them."""
+    if issubclass(type(microphone_type), MicArray):
+        return lambda: copy.deepcopy(microphone_type)
+    return sanitize_microphone_input(microphone_type)
+
 
 
 class PlacementMixin:
@@ -127,9 +138,11 @@ class PlacementMixin:
     # ------------------------------------------------------------------
 
     def _try_add_microphone(
-        self, mic_cls: Type[MicArray], position: Optional[np.ndarray], alias: str
+        self, mic_cls, position: Optional[np.ndarray], alias: str
     ) -> bool:
-        """Try to place a microphone; True when successful."""
+        """Try to place a microphone; True when successful. `mic_cls` is any
+        zero-arg MicArray factory — a class, or a deepcopy factory preserving
+        a configured instance (e.g. Binaural(hrtf_sofa=...))."""
         if alias in self.microphones:
             raise KeyError(f"Alias {alias} already exists in microphone dictionary")
 
@@ -156,7 +169,7 @@ class PlacementMixin:
         """Add a microphone (random valid position unless one is given)."""
         if not keep_existing:
             self.clear_microphones()
-        sanitized = sanitize_microphone_input(microphone_type)
+        sanitized = _mic_factory(microphone_type)
         alias = utils.get_default_alias("mic", self.microphones) if alias is None else alias
         placed = self._try_add_microphone(sanitized, position, alias)
         if not placed:
@@ -195,7 +208,7 @@ class PlacementMixin:
             mtype = microphone_types[idx] if microphone_types is not None else None
             pos = positions[idx] if positions is not None else None
             al = aliases[idx] if aliases is not None else None
-            sanitized = sanitize_microphone_input(mtype)
+            sanitized = _mic_factory(mtype)
             al = utils.get_default_alias("mic", self.microphones) if al is None else al
             placed = self._try_add_microphone(sanitized, pos, al)
             if not placed:
@@ -228,7 +241,7 @@ class PlacementMixin:
         or cartesian XYZ when polar=False.
         """
         emitter_offset = utils.sanitise_coordinates(position)
-        sanitized = sanitize_microphone_input(microphone_type)
+        sanitized = _mic_factory(microphone_type)
         if not keep_existing_mics:
             self.clear_microphones()
         if not keep_existing_emitters:

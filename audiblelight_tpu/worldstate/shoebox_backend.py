@@ -191,6 +191,11 @@ class WorldStateShoebox(PlacementMixin, WorldState):
                     "foa": "foa", "hoa2": "sh2", "hoa3": "sh3",
                 }.get(mic.channel_layout_type, "binaural")
 
+            # Measured-HRTF binaural (micarrays.Binaural.hrtf_sofa; rir.hrtf)
+            hrtf = None
+            if encoding == "binaural" and getattr(mic, "hrtf_sofa", None):
+                hrtf = mic.load_hrtf(self.sample_rate)
+
             irs = shoebox_rirs(
                 jnp.asarray(self.dimensions, dtype=jnp.float32),
                 sources,
@@ -201,6 +206,7 @@ class WorldStateShoebox(PlacementMixin, WorldState):
                 max_order=self.max_order,
                 sr=self.sample_rate,
                 encoding=encoding,
+                hrtf=hrtf,
             )
             arr = np.asarray(irs)
             mic.irs = arr
