@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 from random import random
-from typing import Any, Callable, Iterator, Optional, Type, Union
+from typing import Any, Callable, Iterator, Optional, Union
 
 import numpy as np
 from scipy import stats

@@ -17,7 +17,6 @@ from typing import Optional, Tuple, Union
 import numpy as np
 from scipy.signal import resample_poly
 
-from audiblelight_tpu import utils
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003

@@ -17,9 +17,8 @@ environment, so:
 from __future__ import annotations
 
 import ctypes
-import struct
 from pathlib import Path
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 

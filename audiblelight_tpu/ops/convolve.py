@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiblelight_tpu import config
-from audiblelight_tpu.ops.stft import istft_overlap_add, n_stft_frames, stft
+from audiblelight_tpu.ops.stft import istft_overlap_add, stft
 
 
 def _next_pow2(n: int) -> int:

@@ -243,8 +243,6 @@ def render_prepped_scenes(
     import queue as _queue
     import threading
 
-    import jax
-
     done = 0
     errors: list = []
     work: _queue.Queue = _queue.Queue(maxsize=max_in_flight)

@@ -12,7 +12,7 @@ a handful of batched kernel calls.
 from __future__ import annotations
 
 import copy
-from typing import Optional, Type, Union
+from typing import Optional, Union
 
 import numpy as np
 

@@ -16,7 +16,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from audiblelight_tpu.io.sofa import write_sofa
-from audiblelight_tpu.utils import logger, safe_import
+from audiblelight_tpu.utils import logger
 
 TAU_SRIR_ZENODO = "https://zenodo.org/records/6408611"
 METU_SPARG_ZENODO = "https://zenodo.org/records/2635758"

@@ -16,7 +16,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-from audiblelight_tpu import config, utils
+from audiblelight_tpu import utils
 from audiblelight_tpu.core import Scene
 from audiblelight_tpu.io.audio import wav_write
 from audiblelight_tpu.utils import logger

@@ -16,6 +16,17 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import sys
+
+# Opt-in line coverage (AL_COVERAGE=1): register the sys.monitoring collector
+# BEFORE audiblelight_tpu is imported so module-level lines count. See
+# tools/al_coverage.py; report with tools/coverage_report.py.
+if os.environ.get("AL_COVERAGE"):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from al_coverage import start_coverage  # noqa: E402
+
+    start_coverage()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
