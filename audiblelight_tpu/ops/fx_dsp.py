@@ -22,15 +22,42 @@ from scipy import signal as ssignal
 
 # Heavy kernels (biquads, dynamics, phase vocoder) can dispatch to the jitted
 # JAX implementations in ops.fx_jax. Policy (AUDIBLELIGHT_FX_BACKEND):
-#   auto (default): JAX only when an ACCELERATOR backs jax.default_backend() —
-#       measured on a 1-core host, XLA:CPU loses to numpy on every kernel
-#       (associative_scan ~20x slower than lfilter), while on TPU the batched
-#       FFT/scan programs win and overlap with the render pipeline;
+#   auto (default): JAX only when an ACCELERATOR backs jax.default_backend()
+#       AND the device link is low-latency. Measured on a 1-core host,
+#       XLA:CPU loses to numpy on every kernel (associative_scan ~20x slower
+#       than lfilter). On a PCIe-attached TPU the batched FFT/scan programs
+#       win and overlap with the render pipeline. But per-event FX calls are
+#       LATENCY-bound (one upload + one pull each): behind a remote dev
+#       tunnel (~0.5 s/roundtrip observed) the chip loses to host numpy
+#       (bench-measured 4.4 vs 7.0 scene-sec/s aug-on) — so auto probes the
+#       roundtrip once with a tiny transfer and keeps numpy when it exceeds
+#       _AUTO_LATENCY_S.
 #   jax:   always (parity tests, CPU-mesh sharding tests);
 #   numpy: never (the oracle path).
 # Re-read per call so tests can flip backends with monkeypatch.setenv.
 
-_AUTO_ACCEL: list = []  # memoised jax.default_backend() != "cpu"
+_AUTO_ACCEL: list = []  # memoised: accelerator present AND link fast enough
+_AUTO_LATENCY_S = 0.02  # PCIe/local: <1 ms; remote tunnels: 100s of ms
+
+
+def _probe_accel() -> bool:
+    """True when jax.default_backend() is an accelerator reachable with a
+    low-latency link (one tiny dispatch + D2H pull, wall-clock timed)."""
+    try:
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() == "cpu":
+            return False
+        x = jnp.ones((8,), jnp.float32)
+        np.asarray(x * 2.0)  # warm the program + connection
+        t0 = time.perf_counter()
+        np.asarray(x + 1.0)
+        return (time.perf_counter() - t0) < _AUTO_LATENCY_S
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _jax_fx():
@@ -40,12 +67,7 @@ def _jax_fx():
         return None
     if mode != "jax":  # auto
         if not _AUTO_ACCEL:
-            try:
-                import jax
-
-                _AUTO_ACCEL.append(jax.default_backend() != "cpu")
-            except Exception:  # pragma: no cover
-                _AUTO_ACCEL.append(False)
+            _AUTO_ACCEL.append(_probe_accel())
         if not _AUTO_ACCEL[0]:
             return None
     try:

@@ -74,7 +74,8 @@ def make_fg_pool(root: Path, n_files: int = 8):
 
 
 def scene_factory(mesh, fg_root, n_scenes, seed0, simplify,
-                  ir_seconds=None, max_depth=None, decimate=True):
+                  ir_seconds=None, max_depth=None, decimate=True,
+                  augmentations=None):
     """Yield DCASE2023-shaped scenes: 4 static + 1 moving event, AmbeoVR rig.
 
     Event/trajectory parameters are pinned so the traced source count lands in
@@ -104,22 +105,25 @@ def scene_factory(mesh, fg_root, n_scenes, seed0, simplify,
             fg_path=fg_root,
             max_overlap=2,
             class_mapping="DCASE2023Task3",
+            event_augmentations=augmentations,
         )
         scene.add_microphone(microphone_type="ambeovr", alias="mic000")
+        n_aug = 1 if augmentations else None
         for _ in range(N_STATIC):
             scene.add_event(
                 event_type="static", duration=EVENT_SECONDS, event_start=0.0,
-                max_place_attempts=200,
+                max_place_attempts=200, augmentations=n_aug,
             )
         scene.add_event(
             event_type="moving", duration=EVENT_SECONDS, event_start=0.0,
-            spatial_resolution=2.0, max_place_attempts=200,
+            spatial_resolution=2.0, max_place_attempts=200, augmentations=n_aug,
         )
         scene.add_ambience(noise="gaussian")
         yield scene
 
 
-def run_production(mesh, fg_root, out_dir: Path, n_scenes, seed0, simplify=True):
+def run_production(mesh, fg_root, out_dir: Path, n_scenes, seed0, simplify=True,
+                   augmentations=None):
     """Render n_scenes through the production pipeline; returns elapsed secs.
 
     Outputs per scene: one multichannel WAV per mic, the DCASE2024 metadata
@@ -146,7 +150,8 @@ def run_production(mesh, fg_root, out_dir: Path, n_scenes, seed0, simplify=True)
 
     t0 = time.time()
     n = render_scenes_pipelined(
-        scene_factory(mesh, fg_root, n_scenes, seed0, simplify),
+        scene_factory(mesh, fg_root, n_scenes, seed0, simplify,
+                      augmentations=augmentations),
         complete,
         max_in_flight=4,
         plan_kwargs=PLAN_KWARGS,
@@ -418,6 +423,32 @@ def main():
     ref_config_value = N_MEASURE * SCENE_SECONDS / ref_elapsed
     rt60 = measure_rt60(scan, fg_root, seed0=6500)
 
+    # ---- augmentation-on throughput (the heavy-FX path) --------------------
+    # Heavy per-event DSP: phase-vocoder pitch shift + 8-band EQ + compressor,
+    # one sampled augmentation per event. On an accelerator host the
+    # ops.fx_jax backend runs these on device (AUDIBLELIGHT_FX_BACKEND=auto);
+    # the ratio vs the plain pipeline quantifies the augmentation overhead
+    # the reference pays through pedalboard on CPU.
+    from audiblelight_tpu.augmentation import (
+        Compressor, MultibandEqualizer, PitchShift,
+    )
+
+    augs = [
+        (PitchShift, dict(sample_rate=SR)),
+        (MultibandEqualizer, dict(sample_rate=SR)),
+        (Compressor, dict(sample_rate=SR)),
+    ]
+    run_production(scan, fg_root, out_dir, N_WARMUP, seed0=7600,
+                   augmentations=augs)  # warm aug programs
+    aug_elapsed = run_production(
+        scan, fg_root, out_dir, N_MEASURE, seed0=7700, augmentations=augs
+    )
+    aug_on_value = N_MEASURE * SCENE_SECONDS / aug_elapsed
+    plain_elapsed = run_production(
+        scan, fg_root, out_dir, N_MEASURE, seed0=7800
+    )
+    aug_off_value = N_MEASURE * SCENE_SECONDS / plain_elapsed
+
     # ---- continuity metric: 12-face convex box (occlusion skipped) ---------
     run_production(box, fg_root, out_dir, N_WARMUP, seed0=7000, simplify=False)  # warm
     box_elapsed = run_production(box, fg_root, out_dir, N_MEASURE, seed0=7100, simplify=False)
@@ -446,6 +477,11 @@ def main():
                 "pipeline_peak": round(peak, 2),
                 "pipeline_run_values": [round(v, 2) for v in rates],
                 "pipeline_worker_curve": worker_curve,
+                "aug_on_value": round(aug_on_value, 2),
+                "aug_off_value": round(aug_off_value, 2),
+                "aug_overhead_pct": round(
+                    100.0 * (aug_off_value / max(aug_on_value, 1e-9) - 1.0), 1
+                ),
                 "easy_box_value": round(box_value, 2),
                 "host_cpu_cores": cores,
                 "note": (
@@ -462,7 +498,14 @@ def main():
                     "PCIe hosts track the chip number. ref_config_value = the "
                     "reference rlr default acoustics (4 s IR, depth 200, no "
                     "decimation); bench_room_rt60_seconds quantifies why the "
-                    "production row's 1 s IR window is lossless for this room."
+                    "production row's 1 s IR window is lossless for this room. "
+                    "aug_on/off_value = the pipeline with heavy per-event FX "
+                    "(phase-vocoder pitch shift + 8-band EQ + compressor, one "
+                    "sampled per event) vs without; ops.fx_dsp auto-probes the "
+                    "device link and runs FX on chip only when the roundtrip "
+                    "is PCIe-fast — behind this dev tunnel (~0.5 s/roundtrip) "
+                    "it keeps host numpy, so aug overhead here measures the "
+                    "1-core host, not the chip path."
                 ),
                 "config": {
                     "ir_seconds": IR_SECONDS,

@@ -5,9 +5,10 @@ stochastic ray-traced RIRs with occlusion, a spatial event mix, and a video
 whose background is the room itself — raycast equirectangularly with the
 framework's first-hit kernels (no VTK/OpenCV).
 
-Run:  PYTHONPATH=. python examples/07_scanned_room_video.py
+Run:  PYTHONPATH=. python examples/07_scanned_room_video.py [output_dir]
 """
 
+import sys
 import tempfile
 from pathlib import Path
 
@@ -17,7 +18,8 @@ from audiblelight_tpu.core import Scene
 from audiblelight_tpu.geometry.mesh import scanned_like_room
 from audiblelight_tpu.io.audio import wav_write
 
-out = Path(tempfile.mkdtemp(prefix="al_scanned_"))
+out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp(prefix="al_scanned_"))
+out.mkdir(parents=True, exist_ok=True)
 
 # A watertight nonconvex interior standing in for a license-gated Gibson scan.
 # Raise subdivision_levels to 5 for the full ~10^5-face tracing workload.

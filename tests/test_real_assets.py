@@ -185,3 +185,36 @@ def test_scene_e2e_on_real_clips(tmp_path):
     classes = set(df[1].astype(int))
     assert 0 in classes
     assert 3 in classes
+
+
+def test_real_fma_mp3_decodes():
+    """A real FMA music MP3 (the reference's music event source format)
+    decodes through the libmpg123 ctypes path: correct duration from the
+    header scan, resampled mono audio, sane amplitude."""
+    from audiblelight_tpu.io.audio import get_duration, load_audio
+
+    mp3 = RES / "soundevents" / "music" / "000010.mp3"
+    dur = get_duration(mp3)
+    assert 25.0 < dur < 35.0
+    audio, sr = load_audio(mp3, sr=24000, mono=True, duration=3.0)
+    assert sr == 24000
+    a = np.ravel(np.asarray(audio))
+    assert a.shape[0] == 3 * 24000
+    assert 1e-3 < np.abs(a).max() < 2.0
+
+
+def test_real_mp3_event_in_scene(tmp_path):
+    """The real MP3 drives an Event end-to-end (load -> normalise -> spatial
+    cache), the way scripts/ssseg consumes FMA music stems."""
+    from audiblelight_tpu.event import Event
+
+    ev = Event(
+        filepath=RES / "soundevents" / "music" / "000010.mp3",
+        alias="music0",
+        scene_start=0.0, event_start=0.0, duration=2.0,
+        sample_rate=24000,
+    )
+    audio = ev.load_audio()
+    a = np.ravel(np.asarray(audio))
+    assert a.shape[0] == 2 * 24000
+    assert np.isfinite(a).all()
