@@ -259,3 +259,42 @@ def test_scene_e2e_measured_binaural(hrtf_sofa, tmp_path):
     assert measured.shape == fallback.shape
     assert np.all(np.isfinite(measured))
     assert np.max(np.abs(measured - fallback)) > 1e-4
+
+
+def test_non_binaural_sofa_rejected(tmp_path):
+    """FIR sets without exactly 2 receivers are refused with a clear error."""
+    import h5py
+
+    p = tmp_path / "quad.sofa"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("Data.IR", data=np.zeros((4, 4, 64)))
+        f.create_dataset("Data.SamplingRate", data=np.array([float(SR)]))
+        ds = f.create_dataset("SourcePosition", data=np.zeros((4, 3)))
+        ds.attrs["Type"] = "spherical"
+        ds.attrs["Units"] = "degree, degree, metre"
+    with pytest.raises(ValueError, match="2 ears"):
+        load_hrtf_sofa(str(p), SR)
+
+
+def test_load_is_cached_per_path_and_rate(hrtf_sofa):
+    a = load_hrtf_sofa(str(hrtf_sofa), SR)
+    b = load_hrtf_sofa(str(hrtf_sofa), SR)
+    assert a is b  # lru-cached: one device copy per (path, rate)
+    c = load_hrtf_sofa(str(hrtf_sofa), SR // 2)
+    assert c is not a and c.hrirs.shape[-1] == N_TAPS // 2
+
+
+def test_hrtf_set_is_a_pytree(hrtf):
+    """HRTFSet flattens/unflattens through jax transforms (jit boundary)."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(hrtf)
+    assert len(leaves) == 2
+    back = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert back.sr == hrtf.sr and back.hrirs.shape == hrtf.hrirs.shape
+
+    @jax.jit
+    def left_peak(h):
+        return jnp.max(jnp.abs(h.hrirs[:, 0]))
+
+    assert np.isfinite(float(left_peak(hrtf)))
