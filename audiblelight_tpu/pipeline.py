@@ -219,6 +219,8 @@ class FusedSceneRenderer:
             )
         self._ws = ws
         self._mic_layout = mic.channel_layout_type
+        self._n_capsules = int(mic.n_capsules)
+        self._n_channels = int(mic.n_channels)
         if mic.channel_layout_type == "mic":
             encoding = "omni"
         else:
@@ -390,6 +392,12 @@ class FusedSceneRenderer:
         return (
             id(ws.mesh) == self._mesh_id
             and mic.channel_layout_type == self._mic_layout
+            # Same layout TYPE does not imply the same rig: two "mic"-layout
+            # arrays with different capsule counts would silently render the
+            # template's channel count (c_total is a compiled constant in the
+            # mix program), so the rig's shape must match too.
+            and int(mic.n_capsules) == self._n_capsules
+            and int(mic.n_channels) == self._n_channels
             and buckets == self._buckets
             and len(ws._emitter_positions()) <= self._bucket
             and (not self._occl or ws._rain_mode() == "face")
@@ -671,6 +679,13 @@ class FusedSceneRenderer:
         return fn(*stacked)
 
 
+# Module-wide renderer LRU for render_scenes_pipelined (see the comment at its
+# use site). Keys are (id(mesh), mic layout, plan bucket shapes, sample rate);
+# the mesh object is kept alive by its renderer, so the id cannot be recycled
+# while the entry lives.
+_PIPELINE_RENDERERS: "OrderedDict" = OrderedDict()
+
+
 def render_scenes_pipelined(
     scene_factory: Iterable,
     complete: Callable,
@@ -794,11 +809,17 @@ def render_scenes_pipelined(
             while len(pending) >= max_in_flight:
                 _finish(pending.pop(0))
 
-    # One fused program per mesh seen, LRU-bounded: each renderer pins its
-    # template worldstate (device triangle/rain/IR caches + compiled
-    # programs), so an unbounded dict would hold every room of a long
-    # dataset run live in HBM/host RAM.
-    renderers: OrderedDict = OrderedDict()
+    # One fused program per mesh seen, LRU-bounded MODULE-WIDE: each renderer
+    # pins its template worldstate (device triangle/rain/IR caches + compiled
+    # programs), so an unbounded dict would hold every room of a long dataset
+    # run live in HBM/host RAM. The cache outlives this call on purpose —
+    # dataset drivers invoke render_scenes_pipelined in chunks (resume/retry
+    # loops, bench runs) over the same mesh object, and rebuilding the
+    # renderer cost a ~7 s program cache-load per chunk on a remote link.
+    # Reuse stays safe: entries key by the live mesh OBJECT and every scene
+    # re-passes renderer.compatible() (mic rig, buckets, sample rate,
+    # material, engine config) before rendering through a cached program.
+    renderers = _PIPELINE_RENDERERS
     max_renderers = 4
     group: list = []  # (scene, plan) pairs awaiting a full micro-batch
     group_kind = "stems"
@@ -850,12 +871,58 @@ def render_scenes_pipelined(
                     scene, trace=False, build_ambience=not use_mix,
                     **(plan_kwargs or {}),
                 )
-                # Key by the mesh OBJECT (kept alive by the renderer itself,
-                # so the id cannot be recycled while the entry lives)
-                mesh_key = id(getattr(scene.state, "mesh", scene.state))
+                # Key by the mesh OBJECT plus the template-defining shapes
+                # (mic layout, plan buckets, sample rate). The shape fields
+                # keep the module-wide cache sound across calls: a later run
+                # over the same room with a different rig or scene duration
+                # gets its own entry instead of forever shadowing the mesh
+                # with an incompatible template, and mixed-duration runs keep
+                # one fused program per duration bucket.
+                ws0 = scene.state
+                mic0 = next(iter(ws0.microphones.values()), None)
+                mesh_key = (
+                    id(getattr(ws0, "mesh", ws0)),
+                    getattr(mic0, "channel_layout_type", None),
+                    getattr(mic0, "n_capsules", None),
+                    plan.static_irs.shape[0],
+                    plan.moving_irs.shape[0],
+                    plan.moving_irs.shape[2],
+                    int(plan.static_audio.shape[1]),
+                    int(ws0.sample_rate),
+                )
                 renderer = renderers.get(mesh_key)
                 if renderer is not None:
                     renderers.move_to_end(mesh_key)
+                    if not renderer.compatible(scene, plan):
+                        # Either a within-run outlier (events/emitters
+                        # overflow the template's pinned buckets — rebuilding
+                        # from this scene's truncated plan would silently drop
+                        # events, so leave the entry and take the fallback) or
+                        # a stale template (acoustic config / material / rain
+                        # mode changed on this mesh since a previous call
+                        # cached it — rebuild and replace).
+                        es, em, jmax, _ = renderer._buckets
+                        n_s = sum(
+                            1 for e in scene.events.values() if not e.is_moving
+                        )
+                        n_m = sum(1 for e in scene.events.values() if e.is_moving)
+                        mj = max(
+                            (len(e) for e in scene.events.values() if e.is_moving),
+                            default=0,
+                        )
+                        overflow = (
+                            n_s > es
+                            or n_m > em
+                            or mj > jmax
+                            or len(ws0._emitter_positions()) > renderer._bucket
+                        )
+                        if not overflow:
+                            try:
+                                renderer = renderers[mesh_key] = FusedSceneRenderer(
+                                    scene, plan
+                                )
+                            except ValueError:
+                                renderer = None
                 else:
                     try:
                         renderer = renderers[mesh_key] = FusedSceneRenderer(scene, plan)

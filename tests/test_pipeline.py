@@ -276,6 +276,42 @@ def test_render_scenes_pipelined_fused_matches(fg_dir, scan_mesh):
         assert np.max(np.abs(r - o)) / scale < 1e-2
 
 
+def test_pipeline_renderer_cache_survives_calls(fg_dir, scan_mesh):
+    """The renderer LRU is module-wide: a second render_scenes_pipelined call
+    over the same mesh + rig reuses the compiled template (dataset drivers
+    invoke the pipeline in resume/retry chunks), while a rig change on the
+    same mesh builds a fresh template instead of shadowing the old key."""
+    from audiblelight_tpu import pipeline as pl
+
+    pl._PIPELINE_RENDERERS.clear()
+
+    def run(seed, mic="ambeovr"):
+        scene = make_scanned_scene(fg_dir, scan_mesh, seed=seed)
+        if mic != "ambeovr":
+            scene.state.microphones.clear()
+            scene.state.add_microphone(microphone_type=mic, alias="m")
+        got = {}
+        n = render_scenes_pipelined(
+            iter([scene]),
+            lambda s, a: got.__setitem__(id(s), a["m"]),
+            plan_kwargs=PLAN_KW,
+            fused=True,
+        )
+        assert n == 1
+        return got.popitem()[1]
+
+    run(0)
+    assert len(pl._PIPELINE_RENDERERS) == 1
+    first = next(iter(pl._PIPELINE_RENDERERS.values()))
+    out = run(1)
+    assert next(iter(pl._PIPELINE_RENDERERS.values())) is first
+    assert out.ndim == 2 and np.abs(out).max() > 0
+    # Different rig, same mesh: a second template coexists with the first.
+    out_mono = run(2, mic="monocapsule")
+    assert len(pl._PIPELINE_RENDERERS) == 2
+    assert out_mono.shape[0] != out.shape[0]
+
+
 def test_render_batch_sharded_over_mesh(fg_dir, scan_mesh):
     """Multi-chip dataset path: 8 scenes sharded over the 8-device mesh
     through the fused program match the per-scene single-device renders
