@@ -52,6 +52,12 @@ class PreppedScene:
     csv_texts: dict  # {mic_alias: csv string}
     scene_json: str
     bucket_sources: int = 0  # padded source count this payload was packed for
+    # Worker-computed (C_occ, F') rain-occlusion table (numpy bool), or None.
+    # Computing it worker-side keeps the per-scene face_rain_occlusion
+    # dispatch (a cache miss for every random mic position) off the main
+    # process's device link; the driver falls back to computing it there
+    # whenever the shape doesn't match its renderer's acoustic mesh.
+    face_occ: Optional[np.ndarray] = None
 
 
 def prep_scene(scene, index: int, plan_kwargs: dict, buckets: Optional[tuple] = None,
@@ -95,6 +101,17 @@ def prep_scene(scene, index: int, plan_kwargs: dict, buckets: Optional[tuple] = 
         alias: df.to_csv(header=None)
         for alias, df in generate_dcase2024_metadata(scene).items()
     }
+    # Rain-occlusion table for nonconvex rooms, computed HERE (worker CPU)
+    # rather than on the driver's accelerator: the table depends only on the
+    # acoustic mesh + mic position, both of which this process already has.
+    face_occ = None
+    ws = scene.state
+    if (
+        not getattr(ws.mesh, "is_convex", True)
+        and hasattr(ws, "rain_occlusion_for")
+        and ws._rain_mode() == "face"
+    ):
+        face_occ = np.asarray(ws.rain_occlusion_for(mic_pts))
     return PreppedScene(
         index=index,
         inputs=inputs,
@@ -109,6 +126,7 @@ def prep_scene(scene, index: int, plan_kwargs: dict, buckets: Optional[tuple] = 
         csv_texts=csvs,
         scene_json=json.dumps(scene.to_dict()),
         bucket_sources=int(bucket_sources),
+        face_occ=face_occ,
     )
 
 
@@ -283,11 +301,21 @@ def render_prepped_scenes(
     def _dispatch(group, bucket):
         r = renderer_for(bucket)
         ws = r._ws
+        n_faces = None
         inputs = []
         for p in group:
-            face_occ = (
-                ws.rain_occlusion_for(p.mic_pts) if r._occl else _zero_occ(r)
-            )
+            if not r._occl:
+                face_occ = _zero_occ(r)
+            elif (
+                getattr(p, "face_occ", None) is not None
+                and p.face_occ.shape[-1]
+                == (n_faces := n_faces or int(ws.acoustic_tris_device.shape[0]))
+            ):
+                # worker-computed table (numpy): rides the group's single
+                # batched device_put in render_mix_batch
+                face_occ = p.face_occ
+            else:
+                face_occ = ws.rain_occlusion_for(p.mic_pts)
             inputs.append(p.inputs[:3] + (face_occ,) + p.inputs[3:])
         extras = [(p.starts,) + p.amb for p in group]
         plans = [_PlanView(p.plan_fields) for p in group]
@@ -336,7 +364,14 @@ class _PlanView:
 
 
 def _zero_occ(renderer):
-    import jax.numpy as jnp
+    """All-visible occlusion placeholder (convex rooms), cached per renderer
+    — allocating it fresh per scene cost one device RPC each."""
+    cached = getattr(renderer, "_zero_occ_cache", None)
+    if cached is None:
+        import jax.numpy as jnp
 
-    ws = renderer._ws
-    return jnp.zeros((1, ws.acoustic_tris_device.shape[0]), bool)
+        ws = renderer._ws
+        cached = renderer._zero_occ_cache = jnp.zeros(
+            (1, ws.acoustic_tris_device.shape[0]), bool
+        )
+    return cached

@@ -152,3 +152,22 @@ def test_worker_processes_produce_identical_payloads(fg_dir):
 
     assert _no_times(pooled.scene_json) == _no_times(inline.scene_json)
     assert pooled.csv_texts == inline.csv_texts
+
+
+def test_worker_face_occlusion_matches_driver(fg_dir):
+    """prep_scene computes the nonconvex rain-occlusion table worker-side
+    (numpy), and it equals what the driver would compute from its own
+    worldstate for the same mic points — so the pooled driver's fast path
+    (shipping the worker table straight into the batched device_put) renders
+    through the same visibility the fallback path does."""
+    from audiblelight_tpu.prep import prep_scene
+
+    renderer = _renderer(fg_dir)
+    scene = prep_support.make_scene(fg_dir, seed=31)
+    p = prep_scene(scene, 0, prep_support.PLAN_KW, renderer._buckets, renderer._bucket)
+
+    assert p.face_occ is not None, "nonconvex scene should carry a worker table"
+    assert isinstance(p.face_occ, np.ndarray)
+    assert p.face_occ.shape[-1] == int(renderer._ws.acoustic_tris_device.shape[0])
+    driver_side = np.asarray(renderer._ws.rain_occlusion_for(p.mic_pts))
+    np.testing.assert_array_equal(p.face_occ, driver_side)
