@@ -240,6 +240,17 @@ class FusedSceneRenderer:
         cfg = ws.cfg
         sr = int(ws.sample_rate)
         n_samples = int(round(float(cfg.max_ir_length) * sr))
+        # Measured-HRTF binaural (micarrays.Binaural.hrtf_sofa): the HRTFSet is
+        # a registered pytree, captured as a compiled constant of the fused
+        # program — matches the classic Scene.generate path
+        # (worldstate/mesh_backend.py) so the fused pipeline renders the same
+        # measured-HRIR acoustics, not the analytic spherical-head fallback.
+        self._hrtf_sofa = (
+            str(mic.hrtf_sofa)
+            if (encoding == "binaural" and getattr(mic, "hrtf_sofa", None))
+            else None
+        )
+        hrtf = mic.load_hrtf(sr) if self._hrtf_sofa else None
         mesh_tiles = None if simplified else ws.mesh_tiles
         # Full-mesh placement grid for the direct/diffraction occlusion
         # segments (interior-origin regime; see trace_rirs_multi.accel_direct)
@@ -306,6 +317,7 @@ class FusedSceneRenderer:
                 diffraction=bool(cfg.diffraction),
                 accel_direct=accel_direct,
                 decimate=bool(getattr(cfg, "ray_decimation", False)),
+                hrtf=hrtf,
             )  # (C, bucket, S)
             # Event->emitter gathers: -1 marks an empty slot (padded events /
             # trajectory tails), zeroed after a clamped gather.
@@ -405,6 +417,16 @@ class FusedSceneRenderer:
             and int(ws.sample_rate) == self._sr
             and getattr(ws, "material", None) == self._material
             and dict(ws.cfg.to_dict()) == self._cfg_dict
+            # measured-HRTF set is a compiled constant too
+            and (
+                str(mic.hrtf_sofa)
+                if (
+                    self._mic_layout == "binaural"
+                    and getattr(mic, "hrtf_sofa", None)
+                )
+                else None
+            )
+            == self._hrtf_sofa
         )
 
     def scene_inputs(self, scene, device: bool = True):
@@ -889,6 +911,7 @@ def render_scenes_pipelined(
                     plan.moving_irs.shape[2],
                     int(plan.static_audio.shape[1]),
                     int(ws0.sample_rate),
+                    str(getattr(mic0, "hrtf_sofa", None) or None),
                 )
                 renderer = renderers.get(mesh_key)
                 if renderer is not None:

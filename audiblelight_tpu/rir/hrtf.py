@@ -181,8 +181,16 @@ def load_hrtf_sofa(path: Union[str, Path], sr: int = config.SAMPLE_RATE) -> HRTF
         ir = np.asarray(f["Data.IR"], dtype=np.float64)  # (M, R, N)
         file_sr = float(np.asarray(f["Data.SamplingRate"]).reshape(-1)[0])
         sp = f["SourcePosition"]
-        units = str(sp.attrs.get("Units", b"degree, degree, metre"))
-        pos_type = str(sp.attrs.get("Type", b"spherical"))
+
+        def _attr_str(value) -> str:
+            # Real SOFA files store attrs as bytes/np.bytes_; str(b'...') would
+            # yield "b'...'" and silently break the startswith('cart') check.
+            if isinstance(value, bytes):
+                return value.decode("utf-8", "replace")
+            return str(value)
+
+        units = _attr_str(sp.attrs.get("Units", b"degree, degree, metre"))
+        pos_type = _attr_str(sp.attrs.get("Type", b"spherical"))
         dirs = sofa_source_dirs(np.asarray(sp), units, pos_type)
     if ir.ndim != 3 or ir.shape[1] != 2:
         raise ValueError(

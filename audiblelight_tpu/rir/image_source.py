@@ -161,8 +161,13 @@ def shoebox_rirs(
         dist = jnp.linalg.norm(vec, axis=-1)  # (C, E, chunk)
         amp = 1.0 / (4.0 * jnp.pi * jnp.maximum(dist, 1e-2))
         delay = dist * (sr / c)  # samples, may exceed n_samples (those alias out)
-        # Zero-out contributions that land beyond the IR length
-        amp = amp * (delay < n_samples - 1)
+        # Zero-out contributions that land beyond the IR length. With a measured
+        # HRIR the image's N-tap tail must also fit before the cyclic rfft/irfft
+        # wraps it around to the start of the IR (matches _binaural_direct_ir).
+        in_range = n_samples - 1
+        if encoding == "binaural" and hrtf is not None:
+            in_range = n_samples - int(hrtf.hrirs.shape[-1])
+        amp = amp * (delay < in_range)
 
         # Split delay into exact integer + fractional parts for float32-safe phase
         d_int = jnp.floor(delay).astype(jnp.int32)  # (C, E, chunk)

@@ -298,3 +298,29 @@ def test_hrtf_set_is_a_pytree(hrtf):
         return jnp.max(jnp.abs(h.hrirs[:, 0]))
 
     assert np.isfinite(float(left_peak(hrtf)))
+
+
+def test_bytes_attrs_cartesian_parsed(tmp_path):
+    """Real SOFA files store attrs as BYTES; a cartesian SourcePosition set
+    must be recognised (ADVICE r4: str(b'cartesian') never startswith 'cart')."""
+    import h5py
+
+    hrirs, az, el = make_fixture_hrirs()
+    azr, elr = np.deg2rad(az), np.deg2rad(el)
+    dirs = np.stack(
+        [np.cos(elr) * np.cos(azr), np.cos(elr) * np.sin(azr), np.sin(elr)],
+        axis=-1,
+    )
+    p = tmp_path / "cart.sofa"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("Data.IR", data=hrirs)
+        f.create_dataset("Data.SamplingRate", data=np.array([float(SR)]))
+        ds = f.create_dataset("SourcePosition", data=dirs * 1.5)
+        ds.attrs["Type"] = np.bytes_(b"cartesian")
+        ds.attrs["Units"] = np.bytes_(b"metre")
+    got = load_hrtf_sofa(str(p), SR)
+    # Parsed as cartesian: directions match the generating grid exactly.
+    np.testing.assert_allclose(np.asarray(got.dirs), dirs, atol=1e-6)
+    # If the rows had been misread as spherical the frames would disagree.
+    sph = sofa_source_dirs(dirs * 1.5, "degree, degree, metre", "spherical")
+    assert np.max(np.abs(sph - dirs)) > 0.1

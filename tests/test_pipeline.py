@@ -462,3 +462,77 @@ def test_render_mix_batch_sharded_over_mesh(fg_dir, scan_mesh):
             np.asarray(q_b[i], np.int32) - np.asarray(q1, np.int32)
         ).max()
         assert diff <= 1, f"sharded WAV samples diverge: {diff} LSBs"
+
+
+def test_fused_renderer_honors_measured_hrtf(fg_dir, scan_mesh, tmp_path):
+    """ADVICE r4 (medium): FusedSceneRenderer must render the SAME measured-HRIR
+    binaural acoustics as the plan path (worldstate/mesh_backend.py loads
+    mic.hrtf_sofa), not the analytic spherical-head fallback — and
+    compatible() must key on the HRTF set."""
+    import jax
+
+    from audiblelight_tpu.micarrays import Binaural
+    from audiblelight_tpu.pipeline import FusedSceneRenderer, stems_from_plan
+    from audiblelight_tpu.render import build_scene_plan
+    from audiblelight_tpu.rir.hrtf import write_hrtf_sofa
+
+    # Coarse measured set with the LEFT ear's polarity inverted — a marker the
+    # analytic fallback cannot produce (same construction as tests/test_hrtf.py).
+    sr = 24000
+    az = np.arange(0, 360, 30, dtype=np.float64)
+    el = np.array([-45.0, 0.0, 45.0])
+    pairs = [(a, e) for e in el for a in az]
+    n = 96
+    rng = np.random.default_rng(3)
+    hrirs = np.zeros((len(pairs), 2, n))
+    for i, (a, e) in enumerate(pairs):
+        y = np.cos(np.deg2rad(e)) * np.sin(np.deg2rad(a))
+        for ear, sign in ((0, 1.0), (1, -1.0)):
+            gain = 0.6 + 0.4 * y * sign
+            h = np.sinc(np.arange(n) - 16.0) * np.hanning(n)
+            hrirs[i, ear] = (-1.0 if ear == 0 else 1.0) * gain * h / h.sum()
+    sofa = write_hrtf_sofa(
+        tmp_path / "fixture.sofa",
+        hrirs, np.array([p[0] for p in pairs]), np.array([p[1] for p in pairs]),
+        sr,
+    )
+
+    def binaural_scene(hrtf_path):
+        scene = make_scanned_scene(fg_dir, scan_mesh, seed=77)
+        scene.state.microphones.clear()
+        scene.state.add_microphone(
+            Binaural(hrtf_sofa=hrtf_path), alias="m",
+        )
+        return scene
+
+    def float_stems(out):
+        q, scales = out  # int16 stems (E, C, S), per-event scales (E,)
+        return np.asarray(q, np.float32) * np.asarray(scales)[:, None, None]
+
+    scene = binaural_scene(str(sofa))
+    ws = scene.state
+    ws._key = jax.random.PRNGKey(5)
+    plan = build_scene_plan(scene, **PLAN_KW)
+    s_plan = float_stems(stems_from_plan(plan))
+    assert np.abs(s_plan).max() > 0  # the scene actually rendered something
+
+    plan_nt = build_scene_plan(scene, trace=False, **PLAN_KW)
+    renderer = FusedSceneRenderer(scene, plan_nt)
+    assert renderer.compatible(scene, plan_nt)
+    ws._key = jax.random.PRNGKey(5)
+    s_fused = float_stems(renderer(scene, plan_nt))
+    scale = np.abs(s_plan).max()
+    assert np.max(np.abs(s_plan - s_fused)) / scale < 5e-3
+
+    # A renderer compiled WITHOUT the measured set must not serve this scene
+    # (and vice versa): the HRTF is a captured constant of the program.
+    plain = binaural_scene(None)
+    plan_plain = build_scene_plan(plain, trace=False, **PLAN_KW)
+    renderer_plain = FusedSceneRenderer(plain, plan_plain)
+    assert not renderer_plain.compatible(scene, plan_nt)
+    assert not renderer.compatible(plain, plan_plain)
+    # And the fallback really is different acoustics: the fixture's inverted
+    # left-ear polarity only survives if the measured HRIR reached the render.
+    plain.state._key = jax.random.PRNGKey(5)
+    s_plain = float_stems(stems_from_plan(build_scene_plan(plain, **PLAN_KW)))
+    assert np.max(np.abs(s_plain - s_plan)) / scale > 0.05
