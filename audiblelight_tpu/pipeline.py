@@ -255,6 +255,13 @@ class FusedSceneRenderer:
         # Full-mesh placement grid for the direct/diffraction occlusion
         # segments (interior-origin regime; see trace_rirs_multi.accel_direct)
         accel_direct = ws.grid_accel if occl else None
+        # Multi-bend diffraction graph legs check against an acoustic LOD on
+        # big meshes (see WorldStateRLR.diffraction_graph_tris)
+        diffr_graph_tris = (
+            ws.diffraction_graph_tris
+            if (occl and bool(cfg.diffraction))
+            else None
+        )
 
         # Padded source count: defaults to the template scene's next
         # power-of-two; callers rendering a MIX of scene layouts (the pooled
@@ -314,7 +321,11 @@ class FusedSceneRenderer:
                 tris_direct=full_tris if simplified else None,
                 sh_order_direct=int(cfg.direct_sh_order),
                 sh_order_indirect=int(cfg.indirect_sh_order),
-                diffraction=bool(cfg.diffraction),
+                diffraction=bool(cfg.diffraction) and occl,
+                diffraction_order=max(
+                    1, int(getattr(cfg, "max_diffraction_order", 1))
+                ),
+                tris_diffraction_graph=diffr_graph_tris,
                 accel_direct=accel_direct,
                 decimate=bool(getattr(cfg, "ray_decimation", False)),
                 hrtf=hrtf,

@@ -507,7 +507,9 @@ def _halve_wavefront(carry, n_sources, r_now, r_next):
 
 @partial(
     jax.jit,
-    static_argnames=("n_samples", "sr", "encoding"),
+    # bin_dt is static so the envelope upsample factor (bin_dt * sr) is a
+    # Python int at trace time — it is a config constant at every call site.
+    static_argnames=("n_samples", "bin_dt", "sr", "encoding"),
 )
 def synthesize_ir_from_histogram(
     key: jax.Array,
@@ -589,15 +591,57 @@ def synthesize_ir_from_histogram(
         e_ref = jnp.broadcast_to(jnp.maximum(hist[0:1], 0.0), hist.shape)
     env_bins = hist / jnp.sqrt(jnp.maximum(e_ref, 1e-20) * bin_samples)  # (C, B, bins)
 
-    # Linear-interpolate envelopes to sample resolution
+    # Linear-interpolate envelopes to sample resolution.
+    k_up = int(round(bin_samples))
+    window = pallas_supported() and abs(bin_samples - k_up) < 1e-9 and k_up >= 1
+    env = _interp_envelope(env_bins, n_samples, bin_samples, window=window)
+
+    ir = jnp.sum(carriers / jnp.sqrt(var) * env, axis=1)  # (C, S)
+    return ir.astype(jnp.float32)
+
+
+def _interp_envelope(
+    env_bins: jnp.ndarray, n_samples: int, bin_samples: float, window: bool
+) -> jnp.ndarray:
+    """Upsample (..., n_bins) histogram-bin envelopes to sample resolution.
+
+    window=False: direct gather interpolation (the reference formulation).
+    window=True (TPU; requires integer bin_samples): the gather lowers to a
+    96k-index dynamic gather on TPU (~30 ms/source at 4 s IRs), but the
+    interpolation is k-periodic in the output index, so it is exactly a
+    3-tap window matmul per bin: out[q*k + r] = (1-f)*env[lo] + f*env[hi]
+    with lo in {q-1, q} by r — one (3, k) constant weight table einsummed
+    against shifted envelope copies. The edge-padded head reproduces the
+    gather's clipped lo/frac at q == 0 exactly; the tail never clips since
+    n_bins * bin_dt >= n_samples/sr + bin_dt by construction
+    (tests/test_raytracer.py pins window == gather equality).
+    """
+    n_bins = env_bins.shape[-1]
+    if window:
+        k_up = int(round(bin_samples))
+        r_off = jnp.arange(k_up) / k_up - 0.5
+        f_lo = jnp.where(r_off < 0, r_off + 1.0, r_off)
+        w_up = jnp.stack(
+            [
+                jnp.where(r_off < 0, 1.0 - f_lo, 0.0),  # env[q-1]
+                jnp.where(r_off < 0, f_lo, 1.0 - f_lo),  # env[q]
+                jnp.where(r_off < 0, 0.0, f_lo),  # env[q+1]
+            ]
+        )  # (3, k_up)
+        ep = jnp.concatenate(
+            [env_bins[..., :1], env_bins, env_bins[..., -1:]], axis=-1
+        )
+        sh = jnp.stack(
+            [ep[..., 0:n_bins], ep[..., 1 : n_bins + 1], ep[..., 2 : n_bins + 2]],
+            axis=-2,
+        )  # (..., 3, bins)
+        up = jnp.einsum("...kq,kr->...qr", sh, w_up)
+        return up.reshape(env_bins.shape[:-1] + (n_bins * k_up,))[..., :n_samples]
     t_samples = jnp.arange(n_samples) / bin_samples - 0.5
     lo = jnp.clip(jnp.floor(t_samples).astype(jnp.int32), 0, n_bins - 1)
     hi = jnp.clip(lo + 1, 0, n_bins - 1)
     frac = jnp.clip(t_samples - lo, 0.0, 1.0)
-    env = env_bins[:, :, lo] * (1 - frac) + env_bins[:, :, hi] * frac  # (C, B, S)
-
-    ir = jnp.sum(carriers / jnp.sqrt(var) * env, axis=1)  # (C, S)
-    return ir.astype(jnp.float32)
+    return env_bins[..., lo] * (1 - frac) + env_bins[..., hi] * frac
 
 
 def _linear_phase(delay_samp: jnp.ndarray, n_samples: int) -> jnp.ndarray:
@@ -776,103 +820,163 @@ def direct_paths_ir(
     return ir.at[e_idx, c_idx, idx].add(vals)
 
 
-@partial(jax.jit, static_argnames=("n_samples", "sr", "encoding", "sh_order", "n_angles", "n_radii"))
-def diffracted_path_ir(
-    tris: jnp.ndarray,
-    source_pos: jnp.ndarray,
-    listener_pos: jnp.ndarray,
-    band_freqs: jnp.ndarray,
-    n_samples: int,
-    sr: int = config.SAMPLE_RATE,
-    c: float = config.SPEED_OF_SOUND,
-    encoding: str = "omni",
-    accel=None,
-    sh_order: int = 3,
-    n_angles: int = 16,
-    n_radii: int = 12,
-    hrtf=None,
-) -> jnp.ndarray:
-    """First-order edge-diffraction contribution for an OCCLUDED direct path.
-
-    Replaces the former scattering-floor surrogate with a real knife-edge
-    model (the dominant audible effect of the reference rlr config's
-    `diffraction` flag): when the straight source->listener segment is
-    blocked, the shortest one-bend path around the blocker is found by
-    searching a polar grid of bend candidates on the plane bisecting the
-    segment (both legs must be unoccluded), and the component is synthesised
-    with the Maekawa knife-edge attenuation
-        A(N) = 10 log10(3 + 20 N) dB,  N = 2 delta f / c,
-    where delta = (d1 + d2) - d is the path detour — the standard engineering
-    fit to the Fresnel/UTD solution (within ~1.5 dB of exact Kirchhoff for
-    N >= 0). Higher bands attenuate more (the physical LF "bending around
-    corners" tilt), the arrival lands at (d1 + d2)/c, and amplitude carries
-    the 1/(4 pi (d1 + d2)) spreading of the bent path. Visible (unoccluded)
-    pairs contribute ZERO — the exact direct path already covers them.
-
-    Returns (C_out, n_samples) to add to the RIR.
-    """
-    listener_pos = jnp.atleast_2d(listener_pos).astype(jnp.float32)
-    cl = listener_pos.shape[0]
-    center = jnp.mean(listener_pos, axis=0)
-
+def _diffraction_frame(source_pos, center):
+    """(d, axis, u, v): source->listener distance + an orthonormal frame."""
     d_vec = center - source_pos
     d = jnp.linalg.norm(d_vec)
     axis = d_vec / jnp.maximum(d, 1e-9)
-    # Direct-path occlusion per capsule (the trigger for diffraction)
-    occ_direct = segments_occluded(
-        listener_pos, jnp.broadcast_to(source_pos, (cl, 3)), tris, accel=accel
+    helper = jnp.where(
+        jnp.abs(axis[0]) < 0.9, jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0])
     )
-
-    # Orthonormal frame about the source->listener axis
-    helper = jnp.where(jnp.abs(axis[0]) < 0.9, jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
     u = jnp.cross(axis, helper)
     u = u / jnp.maximum(jnp.linalg.norm(u), 1e-9)
     v = jnp.cross(axis, u)
+    return d, axis, u, v
 
-    mid = 0.5 * (source_pos + center)
+
+def _graph_detour(
+    tris, source_pos, center, accel, order: int,
+    n_angles: int = 12, n_radii: int = 4,
+):
+    """Multi-bend detour search: layered shortest path over bend candidates.
+
+    The reference rlr config exposes `max_diffraction_order` (default 10):
+    paths may bend around several obstacles. Per-ray UTD edge tracing is the
+    wrong shape for a vector machine, so the search is a fixed-shape layered
+    graph: `order` (capped at 4 — a 5th bend costs > 40 dB of knife-edge
+    attenuation and is inaudible) STATIONS along the source->listener axis,
+    each holding a polar lattice of bend candidates; edges connect the source,
+    every station pair in axis order, and the listener, weighted by length
+    (+inf when the segment is occluded). A min-plus forward relaxation — one
+    dense (P, P) reduction per station pair, exactly Bellman-Ford on a DAG —
+    yields the shortest unoccluded polyline with <= `order` bends, and a
+    fixed-step backtrace recovers the bend points for per-bend Maekawa
+    attenuation (sequential knife edges attenuate multiplicatively, the
+    standard engineering treatment of multi-edge diffraction).
+
+    Returns (total_att_db_scale (B-free callable inputs): deltas (S,) per-bend
+    detours with zeros for unused bends, n/a), packed as
+    (found, dist_to_last (scalar), last_bend (3,), deltas (S,)).
+    """
+    d, axis, u, v = _diffraction_frame(source_pos, center)
+    s_n = max(2, min(int(order), 4))
+    p_n = n_angles * n_radii
+
+    fracs = (jnp.arange(s_n) + 1.0) / (s_n + 1.0)
+    centers = source_pos[None] + fracs[:, None] * (d * axis)[None]  # (S, 3)
     angles = jnp.arange(n_angles) * (2.0 * jnp.pi / n_angles)
     radii = jnp.geomspace(0.05, 4.0, n_radii)
     offs = (
         jnp.cos(angles)[:, None, None] * u[None, None, :]
         + jnp.sin(angles)[:, None, None] * v[None, None, :]
     ) * radii[None, :, None]  # (A, R, 3)
-    bends = (mid[None, None, :] + offs).reshape(-1, 3)  # (K, 3)
-    k = bends.shape[0]
+    nodes = (centers[:, None, :] + offs.reshape(-1, 3)[None]).reshape(-1, 3)  # (S*P, 3)
+    n_nodes = s_n * p_n
 
-    # Both legs must clear the mesh for a bend to be a valid detour. Each leg
-    # overshoots the bend by a few endpoint margins: a candidate lying ON the
-    # occluder surface would otherwise sneak both legs through via the
-    # segment-endpoint exclusion and fake a zero-detour path.
-    d1 = jnp.linalg.norm(bends - source_pos[None], axis=-1)
-    d2c = jnp.linalg.norm(bends - center[None], axis=-1)
+    # Occlusion for every candidate edge in ONE batched query: src->node,
+    # node->node (all pairs; axis-order enforced by the +inf mask below) and
+    # node->listener. Each segment overshoots its endpoint slightly so a
+    # candidate ON the occluder surface cannot sneak through the endpoint
+    # exclusion (same margin rationale as the single-bend search).
     over = 5e-4
-    ext1 = bends + over * (bends - source_pos[None]) / jnp.maximum(d1, 1e-9)[:, None]
-    ext2 = bends + over * (bends - center[None]) / jnp.maximum(d2c, 1e-9)[:, None]
-    occ1 = segments_occluded(
-        jnp.broadcast_to(source_pos, (k, 3)), ext1, tris, accel=accel
-    )
-    occ2 = segments_occluded(
-        jnp.broadcast_to(center, (k, 3)), ext2, tris, accel=accel
-    )
-    detour = jnp.where(~occ1 & ~occ2, d1 + d2c, jnp.inf)
-    best = jnp.argmin(detour)
-    bend = bends[best]
-    found = jnp.isfinite(detour[best])
 
-    # Per-capsule geometry through the chosen bend
-    d2 = jnp.linalg.norm(listener_pos - bend[None], axis=-1)  # (C,)
-    path = d1[best] + d2
-    delta = jnp.maximum(path - jnp.linalg.norm(listener_pos - source_pos[None], axis=-1), 0.0)
+    def _ext(a, b):
+        g = b - a
+        ln = jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+        return b + over * g / ln
 
+    starts = jnp.concatenate([
+        jnp.broadcast_to(source_pos, (n_nodes, 3)),
+        jnp.repeat(nodes, n_nodes, axis=0),
+        nodes,
+    ])
+    raw_ends = jnp.concatenate([
+        nodes,
+        jnp.tile(nodes, (n_nodes, 1)),
+        jnp.broadcast_to(center, (n_nodes, 3)),
+    ])
+    ends = _ext(starts, raw_ends)
+    occ = segments_occluded(starts, ends, tris, accel=accel)
+    occ_src = occ[:n_nodes]
+    occ_pair = occ[n_nodes : n_nodes + n_nodes * n_nodes].reshape(n_nodes, n_nodes)
+    occ_lis = occ[n_nodes + n_nodes * n_nodes :]
+
+    len_src = jnp.linalg.norm(nodes - source_pos[None], axis=-1)
+    len_lis = jnp.linalg.norm(center[None] - nodes, axis=-1)
+    len_pair = jnp.linalg.norm(nodes[None] - nodes[:, None], axis=-1)
+
+    inf = jnp.float32(jnp.inf)
+    # Per-hop penalty: the continuous shortest path bends only where it wraps
+    # geometry (Fermat), but its LATTICE discretisation can shave millimetres
+    # by splitting one sharp bend into several shallow ones — each of which
+    # would then pay a spurious knife-edge floor. A few centimetres of extra
+    # cost per station hop makes the relaxation prefer the fewest-bend
+    # representative of the same detour without distorting real geometry.
+    hop = jnp.float32(0.05)
+    w_src = jnp.where(occ_src, inf, len_src + hop)  # (S*P,)
+    w_lis = jnp.where(occ_lis, inf, len_lis)
+    sta_of = jnp.arange(n_nodes) // p_n
+    fwd = sta_of[None, :] > sta_of[:, None]  # strictly later station
+    w_pair = jnp.where(fwd & ~occ_pair, len_pair + hop, inf)  # (S*P, S*P)
+
+    # Min-plus forward relaxation, one pass per station (DAG layers)
+    dist = w_src
+    parent = jnp.full((n_nodes,), -1, jnp.int32)  # -1 = direct from source
+    for _ in range(s_n - 1):
+        via = dist[:, None] + w_pair  # (from, to)
+        best_via = jnp.min(via, axis=0)
+        best_from = jnp.argmin(via, axis=0)
+        better = best_via < dist
+        parent = jnp.where(better, best_from, parent)
+        dist = jnp.minimum(dist, best_via)
+
+    total = dist + w_lis
+    last = jnp.argmin(total)
+    found = jnp.isfinite(total[last])
+
+    # Fixed-step backtrace (<= s_n nodes) collecting per-bend local detours:
+    # delta_i = |p_{i-1} p_i| + |p_i p_{i+1}| - |p_{i-1} p_{i+1}|.
+    def step(carry, _):
+        cur, nxt_pos, deltas, slot = carry
+        cur_pos = nodes[jnp.maximum(cur, 0)]
+        par = parent[jnp.maximum(cur, 0)]
+        prev_pos = jnp.where(par < 0, source_pos, nodes[jnp.maximum(par, 0)])
+        delta = jnp.maximum(
+            jnp.linalg.norm(cur_pos - prev_pos)
+            + jnp.linalg.norm(nxt_pos - cur_pos)
+            - jnp.linalg.norm(nxt_pos - prev_pos),
+            0.0,
+        )
+        live = cur >= 0
+        deltas = jnp.where(live, deltas.at[slot].set(delta), deltas)
+        return (
+            jnp.where(live, par, jnp.int32(-2)),
+            jnp.where(live, prev_pos, nxt_pos),
+            deltas,
+            slot + live.astype(jnp.int32),
+        ), None
+
+    deltas0 = jnp.zeros((s_n,), jnp.float32)
+    (_, _, deltas, _), _ = jax.lax.scan(
+        step, (last.astype(jnp.int32), center, deltas0, jnp.int32(0)), None, length=s_n
+    )
+    return found, dist[last], nodes[last], deltas
+
+
+def _synth_bent_component(
+    gain_b, path, bend, listener_pos, band_freqs, n_samples, sr, c,
+    encoding, sh_order, hrtf,
+):
+    """Frequency-domain synthesis of one bent-path arrival.
+
+    gain_b: (C, B) per-capsule per-band amplitude gains (already masked to
+    zero when inactive); path: (C,) bent path lengths in metres; bend: (3,)
+    the LAST bend point (the arrival direction for spatial encoding).
+    Returns (C_out, n_samples).
+    """
     band_freqs = jnp.asarray(band_freqs, dtype=jnp.float32)
     n_bands = band_freqs.shape[0]
-    fresnel = 2.0 * delta[:, None] * band_freqs[None, :] / c  # (C, B)
-    att_db = 10.0 * jnp.log10(3.0 + 20.0 * fresnel)
-    gain_b = 10.0 ** (-att_db / 20.0) / (4.0 * jnp.pi * jnp.maximum(path, 1e-2))[:, None]
-    # Active only where the direct path is blocked AND a detour exists
-    gain_b = gain_b * (occ_direct & found)[:, None]
-
-    # Frequency-domain synthesis: interpolate band gains onto the FFT grid
+    # Interpolate band gains onto the FFT grid
     # (same log-f piecewise-linear scheme as the tail filterbank), apply the
     # bent path's delay phase, and invert.
     n_freq = n_samples // 2 + 1
@@ -919,6 +1023,157 @@ def diffracted_path_ir(
         return jnp.fft.irfft(spec_ear, n=n_samples, axis=-1).astype(jnp.float32)
     gains = _ambi_gains(dirs, sh_order, encoding)[0]
     return gains[:, None] * ir_caps[0:1]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "sr", "encoding", "sh_order", "n_angles", "n_radii", "order"),
+)
+def diffracted_path_ir(
+    tris: jnp.ndarray,
+    source_pos: jnp.ndarray,
+    listener_pos: jnp.ndarray,
+    band_freqs: jnp.ndarray,
+    n_samples: int,
+    sr: int = config.SAMPLE_RATE,
+    c: float = config.SPEED_OF_SOUND,
+    encoding: str = "omni",
+    accel=None,
+    sh_order: int = 3,
+    n_angles: int = 16,
+    n_radii: int = 12,
+    hrtf=None,
+    order: int = 1,
+    tris_graph=None,
+) -> jnp.ndarray:
+    """Edge-diffraction contribution for an OCCLUDED direct path.
+
+    Implements the reference rlr config's `diffraction` flag with its
+    `max_diffraction_order` semantics (`order`; reference serialises
+    diffraction=1, max_diffraction_order=10 — reference
+    tests/test_worldstate_rlr.py:811,824):
+
+    - order == 1: when the straight source->listener segment is blocked, the
+      shortest ONE-bend path around the blocker is found by searching a polar
+      grid of bend candidates on the plane bisecting the segment (both legs
+      must be unoccluded).
+    - order >= 2: the shortest MULTI-bend polyline through a layered graph of
+      bend-candidate stations (min-plus Bellman-Ford over a DAG; see
+      _graph_detour). Bend count is capped at min(order, 4): a fifth knife
+      edge costs > 40 dB and is inaudible.
+
+    Each bend attenuates by the Maekawa knife-edge fit
+        A(N) = 10 log10(3 + 20 N) dB,  N = 2 delta f / c,
+    with delta the bend's LOCAL detour ((d_in + d_out) - straight-through) —
+    the standard engineering fit to the Fresnel/UTD solution (within ~1.5 dB
+    of exact Kirchhoff for N >= 0); sequential knife edges attenuate
+    multiplicatively. Higher bands attenuate more (the physical LF "bending
+    around corners" tilt), the arrival lands at the bent path's total delay,
+    and amplitude carries the 1/(4 pi L) spreading of the bent path. Visible
+    (unoccluded) pairs contribute ZERO — the exact direct path covers them.
+
+    Returns (C_out, n_samples) to add to the RIR.
+    """
+    listener_pos = jnp.atleast_2d(listener_pos).astype(jnp.float32)
+    cl = listener_pos.shape[0]
+    center = jnp.mean(listener_pos, axis=0)
+
+    # Direct-path occlusion per capsule (the trigger for diffraction)
+    occ_direct = segments_occluded(
+        listener_pos, jnp.broadcast_to(source_pos, (cl, 3)), tris, accel=accel
+    )
+    band_freqs = jnp.asarray(band_freqs, dtype=jnp.float32)
+
+    # Fine single-bend search first — a 1-bend detour, when one exists, both
+    # dominates (one knife edge attenuates least) and is found at the mid-
+    # plane lattice's full resolution.
+    d, axis, u, v = _diffraction_frame(source_pos, center)
+    mid = 0.5 * (source_pos + center)
+    angles = jnp.arange(n_angles) * (2.0 * jnp.pi / n_angles)
+    radii = jnp.geomspace(0.05, 4.0, n_radii)
+    offs = (
+        jnp.cos(angles)[:, None, None] * u[None, None, :]
+        + jnp.sin(angles)[:, None, None] * v[None, None, :]
+    ) * radii[None, :, None]  # (A, R, 3)
+    bends = (mid[None, None, :] + offs).reshape(-1, 3)  # (K, 3)
+    k = bends.shape[0]
+
+    # Both legs must clear the mesh for a bend to be a valid detour. Each
+    # leg overshoots the bend by a few endpoint margins: a candidate lying
+    # ON the occluder surface would otherwise sneak both legs through via
+    # the segment-endpoint exclusion and fake a zero-detour path.
+    d1 = jnp.linalg.norm(bends - source_pos[None], axis=-1)
+    d2c = jnp.linalg.norm(bends - center[None], axis=-1)
+    over = 5e-4
+    ext1 = bends + over * (bends - source_pos[None]) / jnp.maximum(d1, 1e-9)[:, None]
+    ext2 = bends + over * (bends - center[None]) / jnp.maximum(d2c, 1e-9)[:, None]
+    occ1 = segments_occluded(
+        jnp.broadcast_to(source_pos, (k, 3)), ext1, tris, accel=accel
+    )
+    occ2 = segments_occluded(
+        jnp.broadcast_to(center, (k, 3)), ext2, tris, accel=accel
+    )
+    detour = jnp.where(~occ1 & ~occ2, d1 + d2c, jnp.inf)
+    best = jnp.argmin(detour)
+    bend = bends[best]
+    found = jnp.isfinite(detour[best])
+
+    # Per-capsule geometry through the chosen bend
+    d2 = jnp.linalg.norm(listener_pos - bend[None], axis=-1)  # (C,)
+    path = d1[best] + d2
+    deltas = jnp.maximum(
+        path - jnp.linalg.norm(listener_pos - source_pos[None], axis=-1), 0.0
+    )[:, None]  # (C, 1): one bend
+
+    if order >= 2:
+        # Multi-bend fallback where NO single bend clears the blockers (two
+        # staggered screens, L-shaped corridors): layered shortest-path graph
+        # (see _graph_detour), engaged only when the fine search fails. Its
+        # leg occlusion runs against `tris_graph` (callers pass an acoustic
+        # LOD for big scanned meshes: ~40k lattice segments against 10^5
+        # faces through the grid DDA measured ~4.7 s/source on chip, while
+        # multi-edge diffraction physically concerns LARGE blockers, which
+        # vertex-clustered LODs preserve) through the dense any-hit kernels.
+        found_g, dist_last, bend_g, deltas_s = _graph_detour(
+            tris if tris_graph is None else tris_graph,
+            source_pos, center,
+            accel if tris_graph is None else None,
+            order,
+        )
+        d2_g = jnp.linalg.norm(listener_pos - bend_g[None], axis=-1)  # (C,)
+        path_g = dist_last + d2_g
+        deltas_g = jnp.broadcast_to(deltas_s[None], (cl, deltas_s.shape[0]))
+
+        use_graph = (~found) & found_g
+        found = found | found_g
+        bend = jnp.where(use_graph, bend_g, bend)
+        path = jnp.where(use_graph, path_g, path)
+        deltas = jnp.where(
+            use_graph,
+            deltas_g,
+            jnp.pad(deltas, ((0, 0), (0, deltas_g.shape[1] - 1))),
+        )
+
+    # Per-bend Maekawa attenuation, summed in dB. Bends below the lattice's
+    # resolution (sub-5 mm local detour) are path REPRESENTATION, not physical
+    # edges, and must not pay the knife-edge floor (see _graph_detour's hop
+    # penalty); unused slots (delta == 0) are masked the same way.
+    bend_eps = 5e-3
+    fresnel = 2.0 * deltas[..., None] * band_freqs[None, None, :] / c  # (C, S, B)
+    att_db = 10.0 * jnp.log10(3.0 + 20.0 * fresnel)
+    att_db = jnp.sum(att_db * (deltas[..., None] > bend_eps), axis=1)  # (C, B)
+    # A genuinely-bent path always has at least one active bend; a zero-delta
+    # "detour" (numerically straight) collapses to the Maekawa floor once.
+    no_bend = jnp.all(deltas <= bend_eps, axis=1)
+    att_db = jnp.where(no_bend[:, None], 10.0 * jnp.log10(3.0), att_db)
+    gain_b = 10.0 ** (-att_db / 20.0) / (4.0 * jnp.pi * jnp.maximum(path, 1e-2))[:, None]
+    # Active only where the direct path is blocked AND a detour exists
+    gain_b = gain_b * (occ_direct & found)[:, None]
+
+    return _synth_bent_component(
+        gain_b, path, bend, listener_pos, band_freqs, n_samples, sr, c,
+        encoding, sh_order, hrtf,
+    )
 
 
 def face_rain_occlusion(
@@ -1362,6 +1617,8 @@ def trace_rirs_multi(
     sh_order_direct: int = 3,
     sh_order_indirect: int = 1,
     diffraction: bool = False,
+    diffraction_order: int = 1,
+    tris_diffraction_graph=None,
     accel_direct=None,
     decimate: bool = False,
     hrtf=None,
@@ -1370,9 +1627,9 @@ def trace_rirs_multi(
 
     `face_occlusion`/`tris_direct` as in trace_rirs: precomputed per-face rain
     visibility for the tail, full-resolution mesh for the exact direct path.
-    With `diffraction=True`, occluded direct paths gain a first-order
-    knife-edge component (diffracted_path_ir; the rlr config's `diffraction`
-    flag).
+    With `diffraction=True`, occluded direct paths gain a knife-edge
+    component of up to `diffraction_order` bends (diffracted_path_ir; the rlr
+    config's `diffraction` + `max_diffraction_order` fields).
 
     `accel_direct` (geometry.grid.build_grid over the DIRECT-path mesh) serves
     the few direct/diffraction occlusion segments — the interior-origin regime
@@ -1432,11 +1689,19 @@ def trace_rirs_multi(
     )  # (E, C_out, S)
 
     if diffraction:
+        # vmap batches every source's candidate segments into single queries.
+        # This is only memory-safe because the multi-bend graph checks its
+        # ~37k lattice legs against `tris_diffraction_graph` through the
+        # DENSE streaming any-hit (tiny state): routing them through the grid
+        # DDA instead multiplied its per-segment walk state by 16 sources
+        # into a 19 GB HBM allocation on a 110k-face room (and a sequential
+        # lax.map cost ~75 ms/source in dispatch serialisation).
         directs = directs + jax.vmap(
             lambda src: diffracted_path_ir(
                 td, src, listener_pos, band_freqs, n_samples, sr=sr, c=c,
                 encoding=encoding, accel=a_dir, sh_order=sh_order_direct,
-                hrtf=hrtf,
+                hrtf=hrtf, order=int(diffraction_order),
+                tris_graph=tris_diffraction_graph,
             )
         )(source_positions)
 

@@ -55,7 +55,12 @@ _ENGINE_FIELD_DEFAULTS = {
     "unit_scale": 1.0,
     "speed_of_sound": config.SPEED_OF_SOUND,
     "thread_count": 1,
-    "diffraction": False,
+    # Knife-edge diffraction for occluded direct paths. The reference rlr
+    # engine serialises diffraction=1 with max_diffraction_order=10 (reference
+    # tests/test_worldstate_rlr.py:811,824) — match those defaults. Bend count
+    # is capped at 4 inside the tracer (a fifth knife edge costs > 40 dB).
+    "diffraction": True,
+    "max_diffraction_order": 10,
     "transmission": False,
     # Acoustic LOD for the stochastic tail (the reference rlr config's
     # `mesh_simplification` field): False = trace the full mesh; True = decimate
@@ -448,6 +453,31 @@ class WorldStateRLR(PlacementMixin, WorldState):
         if ck not in cache:
             cache[ck] = jnp.asarray(amesh.triangles.astype(np.float32))
         return cache[ck]
+
+    @property
+    def diffraction_graph_tris(self) -> Optional[jnp.ndarray]:
+        """(F', 3, 3) triangles the MULTI-BEND diffraction graph checks its
+        candidate legs against, or None to use the full mesh + grid accel.
+
+        Big scanned meshes get a vertex-clustered LOD: the graph issues ~40k
+        lattice segments per source, which cost seconds through the grid DDA
+        at 10^5 faces, while multi-edge diffraction physically concerns LARGE
+        blockers (walls, partitions) that clustering preserves. Reuses the
+        acoustic mesh when simplification is active; builds a dedicated LOD
+        (cached on the mesh) otherwise. Small meshes return None — the dense
+        kernels handle them exactly and cheaply.
+        """
+        if len(self.mesh.faces) < config.GRID_ACCEL_MIN_FACES:
+            return None
+        if self.acoustic_mesh is not self.mesh:
+            return self.acoustic_tris_device
+        cache = self._shared_cache()
+        if "diffraction_lod" not in cache:
+            lod = self.mesh.simplified(
+                target_faces=config.MESH_SIMPLIFICATION_TARGET_FACES
+            )
+            cache["diffraction_lod"] = jnp.asarray(lod.triangles.astype(np.float32))
+        return cache["diffraction_lod"]
 
     def rain_occlusion_for(self, listener_points: np.ndarray) -> jnp.ndarray:
         """Cached (C_occ, F') per-face rain-occlusion table for the acoustic
@@ -929,8 +959,14 @@ class WorldStateRLR(PlacementMixin, WorldState):
                 sh_order_direct=int(self.cfg.direct_sh_order),
                 sh_order_indirect=int(self.cfg.indirect_sh_order),
                 # Knife-edge term for occluded direct paths (rlr's
-                # `diffraction` flag; see rir.raytracer.diffracted_path_ir)
-                diffraction=bool(self.cfg.diffraction),
+                # `diffraction` + `max_diffraction_order` fields; see
+                # rir.raytracer.diffracted_path_ir). Convex rooms have no
+                # occluded pairs, so the search is skipped exactly.
+                diffraction=bool(self.cfg.diffraction) and not self.mesh.is_convex,
+                diffraction_order=max(
+                    1, int(getattr(self.cfg, "max_diffraction_order", 1))
+                ),
+                tris_diffraction_graph=self.diffraction_graph_tris,
                 # Bounce-loop queries run the dense streamed Pallas kernels at
                 # any face count: rays leaving SURFACES graze face-dense cells,
                 # where the uniform-grid DDA degenerates to hundreds of

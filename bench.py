@@ -75,7 +75,7 @@ def make_fg_pool(root: Path, n_files: int = 8):
 
 def scene_factory(mesh, fg_root, n_scenes, seed0, simplify,
                   ir_seconds=None, max_depth=None, decimate=True,
-                  augmentations=None):
+                  augmentations=None, material=None, rain=None):
     """Yield DCASE2023-shaped scenes: 4 static + 1 moving event, AmbeoVR rig.
 
     Event/trajectory parameters are pinned so the traced source count lands in
@@ -84,6 +84,17 @@ def scene_factory(mesh, fg_root, n_scenes, seed0, simplify,
     """
     from audiblelight_tpu.core import Scene
 
+    rlr = dict(
+        indirect_ray_count=N_RAYS,
+        indirect_ray_depth=MAX_DEPTH if max_depth is None else max_depth,
+        max_ir_length=IR_SECONDS if ir_seconds is None else ir_seconds,
+        mesh_simplification=simplify,
+        # Opt-in TPU fast path (defaults to the reference rlr
+        # behaviour, False): Russian-roulette wavefront decimation
+        ray_decimation=decimate,
+    )
+    if rain is not None:
+        rlr["rain_visibility"] = rain
     for i in range(n_scenes):
         scene = Scene(
             duration=SCENE_SECONDS,
@@ -92,15 +103,8 @@ def scene_factory(mesh, fg_root, n_scenes, seed0, simplify,
             backend_kwargs=dict(
                 mesh=mesh,
                 seed=seed0 + i,
-                rlr_kwargs=dict(
-                    indirect_ray_count=N_RAYS,
-                    indirect_ray_depth=MAX_DEPTH if max_depth is None else max_depth,
-                    max_ir_length=IR_SECONDS if ir_seconds is None else ir_seconds,
-                    mesh_simplification=simplify,
-                    # Opt-in TPU fast path (defaults to the reference rlr
-                    # behaviour, False): Russian-roulette wavefront decimation
-                    ray_decimation=decimate,
-                ),
+                material=material,
+                rlr_kwargs=dict(rlr),
             ),
             fg_path=fg_root,
             max_overlap=2,
@@ -163,28 +167,46 @@ def run_production(mesh, fg_root, out_dir: Path, n_scenes, seed0, simplify=True,
     return elapsed
 
 
-def make_prep(fg_root, simplify, plan_kwargs, buckets, bucket_sources):
+def heavy_fx_set():
+    """The bench's heavy per-event FX chain (one sampled per event)."""
+    from audiblelight_tpu.augmentation import (
+        Compressor, MultibandEqualizer, PitchShift,
+    )
+
+    return [
+        (PitchShift, dict(sample_rate=SR)),
+        (MultibandEqualizer, dict(sample_rate=SR)),
+        (Compressor, dict(sample_rate=SR)),
+    ]
+
+
+def make_prep(fg_root, simplify, plan_kwargs, buckets, bucket_sources,
+              augmentations=False):
     """Worker-side builder for the scene-prep pool (prep.ScenePrepPool).
 
     Runs once per worker process: rebuilds the bench room deterministically
     (scanned_like_room is seed-pure) and returns the per-scene prep closure —
-    placement, audio load, metadata serialisation, plan packing, all on a
-    CPU-only JAX with no tunnel access.
+    placement, audio load/FX, metadata serialisation, plan packing, all on a
+    CPU-only JAX with no tunnel access. `augmentations=True` applies the
+    heavy FX set in the WORKER, overlapping the dispatch thread.
     """
     from audiblelight_tpu.geometry.mesh import scanned_like_room
     from audiblelight_tpu.prep import prep_scene
 
     mesh = scanned_like_room(extents=tuple(ROOM), seed=0)
+    augs = heavy_fx_set() if augmentations else None
 
     def prep(index, seed):
-        scene = next(iter(scene_factory(mesh, Path(fg_root), 1, seed, simplify)))
+        scene = next(iter(scene_factory(
+            mesh, Path(fg_root), 1, seed, simplify, augmentations=augs,
+        )))
         return prep_scene(scene, index, plan_kwargs, buckets, bucket_sources)
 
     return prep
 
 
 def run_production_pooled(mesh, fg_root, out_dir: Path, n_scenes, seed0, workers,
-                          device_mesh=None):
+                          device_mesh=None, augmentations=False):
     """The pooled production pipeline: worker processes place + pack scenes,
     the device runs the whole-scene-to-WAV program (trace + stems + timeline
     + ambience + int16), the main process writes final bytes. workers=0 runs
@@ -220,6 +242,7 @@ def run_production_pooled(mesh, fg_root, out_dir: Path, n_scenes, seed0, workers
         dict(
             fg_root=str(fg_root), simplify=True, plan_kwargs=PLAN_KWARGS,
             buckets=renderer._buckets, bucket_sources=renderer._bucket,
+            augmentations=augmentations,
         ),
         workers=workers,
     ) as pool:
@@ -295,6 +318,58 @@ def run_chip_only(mesh, fg_root, n_scenes, seed0, simplify=True, **factory_kwarg
     return time.time() - t0, warmup
 
 
+def measure_fx_chip(n_clips: int = 8, reps: int = 3) -> dict:
+    """The heavy FX chain (pitch shift + 8-band EQ + compressor) per 5 s event
+    clip, with AUDIBLELIGHT_FX_BACKEND forced to `jax` (on-chip) and `numpy`
+    (the host oracle). Returns clip-seconds/sec for both plus the ratio.
+
+    The jax numbers include the per-call upload/download this host's link
+    charges — the production regime they stand for is a PCIe-attached chip
+    where those are microseconds.
+    """
+    import os as _os
+
+    from audiblelight_tpu.ops import fx_dsp
+
+    rng = np.random.default_rng(3)
+    clips = [
+        rng.standard_normal(int(EVENT_SECONDS * SR)).astype(np.float32) * 0.1
+        for _ in range(n_clips)
+    ]
+
+    def chain(x):
+        y = fx_dsp.pitch_shift(x, SR, 3.0)
+        for i in range(8):
+            y = fx_dsp.biquad(y, "peak", SR, 150.0 * (2.0 ** i), gain_db=2.5)
+        return fx_dsp.compress(y, SR, threshold_db=-18.0, ratio=3.0)
+
+    out = {}
+    old = _os.environ.get("AUDIBLELIGHT_FX_BACKEND")
+    try:
+        for backend in ("jax", "numpy"):
+            _os.environ["AUDIBLELIGHT_FX_BACKEND"] = backend
+            fx_dsp._AUTO_ACCEL.clear()
+            chain(clips[0])  # warm (compile on the jax path)
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                for c in clips:
+                    chain(c)
+                ts.append(time.time() - t0)
+            out[backend] = n_clips * EVENT_SECONDS / min(ts)
+    finally:
+        if old is None:
+            _os.environ.pop("AUDIBLELIGHT_FX_BACKEND", None)
+        else:
+            _os.environ["AUDIBLELIGHT_FX_BACKEND"] = old
+        fx_dsp._AUTO_ACCEL.clear()
+    return {
+        "fx_chip_clip_sec_per_s": round(out["jax"], 2),
+        "fx_host_clip_sec_per_s": round(out["numpy"], 2),
+        "fx_chip_vs_host": round(out["jax"] / max(out["numpy"], 1e-9), 2),
+    }
+
+
 def measure_d2h_link(fused_batch: int = 4, reps: int = 3) -> float:
     """Median device->host bulk rate (MB/s) for one pipeline group's payload
     (fused_batch scenes x 4ch x 60 s int16 — the exact pull the production
@@ -319,15 +394,16 @@ def measure_d2h_link(fused_batch: int = 4, reps: int = 3) -> float:
     return statistics.median(rates)
 
 
-def measure_rt60(mesh, fg_root, seed0):
+def measure_rt60(mesh, fg_root, seed0, simplify=True, material=None, rain=None):
     """Schroeder-integral T30-extrapolated RT60 of the bench room, from a
     full-length traced IR (reference rlr default 4 s ceiling) — the
-    quantitative justification for the production config's 1 s IR window."""
+    quantitative justification for the production config's 1 s IR window,
+    and (run with simplify True vs False) for the acoustic-LOD fidelity."""
     import jax
 
     scene = next(iter(scene_factory(
-        mesh, fg_root, 1, seed0, True, ir_seconds=4.0, max_depth=200,
-        decimate=False,
+        mesh, fg_root, 1, seed0, simplify, ir_seconds=4.0, max_depth=200,
+        decimate=False, material=material, rain=rain,
     )))
     ws = scene.state
     irs = ws.trace_irs_device()
@@ -341,6 +417,63 @@ def measure_rt60(mesh, fg_root, seed0):
         return float("nan")
     slope = np.polyfit(t[m], sch_db[m], 1)[0]  # dB/s
     return float(-60.0 / slope)
+
+
+def measure_stages(mesh, fg_root, seed0):
+    """Device-time attribution for one production-config scene: RIR trace
+    (incl. IR synthesis + direct paths) vs stems (convolution + level chain +
+    int16), each digest-synced; plus an estimated-op VPU-utilisation proxy for
+    the trace's dominant kernel (the dense ray x face first hit).
+
+    The proxy counts first-hit pair-ops only — bounces * total_rays * F_lod *
+    ~25 VPU ops — against an assumed v5e VPU peak of 3.8e12 f32 op/s, so it is
+    a LOWER bound on utilisation (deposit/reflection ops excluded). Published
+    so round-over-round perf deltas are attributable to a stage, as the
+    driver's MFU mandate asks; the MXU is idle by design in the tracer (the
+    arithmetic is element-wise), so classic matmul MFU would read ~0.
+    """
+    import time as _time
+
+    import jax
+
+    from audiblelight_tpu.pipeline import stems_from_plan
+    from audiblelight_tpu.render import build_scene_plan
+
+    scene = next(iter(scene_factory(mesh, fg_root, 1, seed0, True)))
+    ws = scene.state
+
+    def trace_once():
+        ws._irs_device_cache = None
+        out = ws.trace_irs_device()
+        return float(np.asarray(next(iter(out.values()))[0, 0, :8]).sum())
+
+    trace_once()  # warm
+    t0 = _time.time(); trace_once(); trace_s = _time.time() - t0
+
+    plan = build_scene_plan(scene, trace=True, **PLAN_KWARGS)
+    q, s = stems_from_plan(plan)
+    float(np.asarray(s[0]))  # warm
+    t0 = _time.time()
+    q, s = stems_from_plan(plan)
+    float(np.asarray(s[0]))
+    stems_s = _time.time() - t0
+
+    cfg = ws.cfg
+    f_lod = int(ws.acoustic_tris_device.shape[0])
+    alpha = 0.10  # bench room Default material
+    bounces = min(
+        int(cfg.indirect_ray_depth),
+        int(np.ceil(6 * np.log(10) / -np.log(1 - alpha))),
+    )
+    total_rays = 16 * int(cfg.indirect_ray_count)  # bucketed source count
+    pair_ops = bounces * total_rays * f_lod * 25.0
+    vpu_util = 100.0 * pair_ops / (trace_s * 3.8e12)
+    return {
+        "trace_s": round(trace_s, 3),
+        "stems_s": round(stems_s, 3),
+        "first_hit_pair_ops": pair_ops,
+        "vpu_util_proxy_pct": round(vpu_util, 1),
+    }
 
 
 def main():
@@ -459,25 +592,60 @@ def main():
         warmups.append(warm)
     value = statistics.median(chip_rates)
 
-    # ---- reference-default acoustics row -----------------------------------
+    # ---- reference-default acoustics rows -----------------------------------
     # The config the reference rlr engine serialises (reference
     # tests/test_worldstate_rlr.py:810-835): IR ceiling 4 s, indirect depth
-    # 200, 5000 rays, 4 bands — with the TPU-only ray decimation OFF. The
-    # production row above uses a 1 s IR window; measure_rt60 publishes the
-    # bench room's actual RT60 so the truncation is quantified, not asserted.
+    # 200, 5000 rays, 4 bands, diffraction ON (the engine default now matches)
+    # — with the TPU-only ray decimation OFF.
+    #
+    # TWO rows, honestly split:
+    #  - ref_config_value: mesh_simplification OFF (the reference's serialized
+    #    mesh_simplification=0) — the stochastic tail traces the FULL 110k-face
+    #    mesh (rain visibility precomputed per-face, exact up to the within-
+    #    face penumbra at cm-scale faces). The dense ray x face kernels pay
+    #    O(F) where the reference's C++ BVH pays O(log F): this row is the
+    #    honest apples-to-apples number.
+    #  - ref_config_lod_value: the engine's acoustic-LOD acceleration
+    #    (mesh_simplification on: Sabine-corrected vertex clustering;
+    #    lod_rt60_delta_pct quantifies its fidelity on this room).
     ref_elapsed, ref_warm = run_chip_only(
-        scan, fg_root, N_MEASURE, seed0=6000,
+        scan, fg_root, 2, seed0=6000,
+        ir_seconds=4.0, max_depth=200, decimate=False, simplify=False,
+        rain="face",
+    )
+    ref_config_value = 2 * SCENE_SECONDS / ref_elapsed
+    ref_lod_elapsed, ref_lod_warm = run_chip_only(
+        scan, fg_root, N_MEASURE, seed0=6100,
         ir_seconds=4.0, max_depth=200, decimate=False,
     )
-    ref_config_value = N_MEASURE * SCENE_SECONDS / ref_elapsed
+    ref_config_lod_value = N_MEASURE * SCENE_SECONDS / ref_lod_elapsed
     rt60 = measure_rt60(scan, fg_root, seed0=6500)
+    rt60_full = measure_rt60(scan, fg_root, seed0=6500, simplify=False, rain="face")
+    lod_rt60_delta_pct = (
+        100.0 * abs(rt60 - rt60_full) / rt60_full if rt60_full == rt60_full else float("nan")
+    )
+
+    # ---- reverberant-room row ----------------------------------------------
+    # Low-absorption material (RT60 >= 2 s) with a matching 4 s IR window: the
+    # honest long-tail cost the 0.84 s bench room never exercises (the energy
+    # kill then runs the full depth-200 bounce budget).
+    rev_elapsed, _ = run_chip_only(
+        scan, fg_root, 4, seed0=6900, ir_seconds=4.0, max_depth=200,
+        material="Concrete, Rough",
+    )
+    reverb_value = 4 * SCENE_SECONDS / rev_elapsed
+    reverb_rt60 = measure_rt60(scan, fg_root, seed0=6950, material="Concrete, Rough")
+
+    # ---- stage attribution / utilisation proxy ------------------------------
+    stages = measure_stages(scan, fg_root, seed0=6400)
 
     # ---- augmentation-on throughput (the heavy-FX path) --------------------
     # Heavy per-event DSP: phase-vocoder pitch shift + 8-band EQ + compressor,
-    # one sampled augmentation per event. On an accelerator host the
-    # ops.fx_jax backend runs these on device (AUDIBLELIGHT_FX_BACKEND=auto);
-    # the ratio vs the plain pipeline quantifies the augmentation overhead
-    # the reference pays through pedalboard on CPU.
+    # one sampled augmentation per event, rendered through the POOLED pipeline
+    # so the FX runs in the prep worker process and overlaps the device
+    # dispatch thread (the reference pays pedalboard serially on its render
+    # thread). Median of 3 runs per row — the tunnel's run-to-run variance
+    # swamped single-run ratios in earlier rounds.
     from audiblelight_tpu.augmentation import (
         Compressor, MultibandEqualizer, PitchShift,
     )
@@ -489,14 +657,27 @@ def main():
     ]
     run_production(scan, fg_root, out_dir, N_WARMUP, seed0=7600,
                    augmentations=augs)  # warm aug programs
-    aug_elapsed = run_production(
-        scan, fg_root, out_dir, N_MEASURE, seed0=7700, augmentations=augs
-    )
-    aug_on_value = N_MEASURE * SCENE_SECONDS / aug_elapsed
-    plain_elapsed = run_production(
-        scan, fg_root, out_dir, N_MEASURE, seed0=7800
-    )
-    aug_off_value = N_MEASURE * SCENE_SECONDS / plain_elapsed
+    aug_on_runs, aug_off_runs = [], []
+    for r in range(3):
+        el = run_production_pooled(
+            scan, fg_root, out_dir, N_MEASURE, seed0=7700 + 10 * r,
+            workers=auto_workers, augmentations=True,
+        )
+        aug_on_runs.append(N_MEASURE * SCENE_SECONDS / el)
+        el = run_production_pooled(
+            scan, fg_root, out_dir, N_MEASURE, seed0=7800 + 10 * r,
+            workers=auto_workers,
+        )
+        aug_off_runs.append(N_MEASURE * SCENE_SECONDS / el)
+    aug_on_value = statistics.median(aug_on_runs)
+    aug_off_value = statistics.median(aug_off_runs)
+
+    # ---- on-chip FX throughput (AUDIBLELIGHT_FX_BACKEND=jax) ---------------
+    # The heavy chain straight through ops.fx_jax on the device, batch of
+    # event clips, digest-synced: proves the production value of the JAX FX
+    # backend independent of this host's slow dev link (which keeps the
+    # auto policy on host numpy — see ops.fx_dsp).
+    fx_chip_value = measure_fx_chip()
 
     # ---- continuity metric: 12-face convex box (occlusion skipped) ---------
     run_production(box, fg_root, out_dir, N_WARMUP, seed0=7000, simplify=False)  # warm
@@ -517,10 +698,18 @@ def main():
                 "chip_run_values": [round(v, 2) for v in chip_rates],
                 "chip_warmup_seconds": [round(w, 2) for w in warmups],
                 "ref_config_value": round(ref_config_value, 2),
+                "ref_config_lod_value": round(ref_config_lod_value, 2),
                 "ref_config": {
                     "ir_seconds": 4.0, "n_rays": N_RAYS, "max_depth": 200,
-                    "ray_decimation": False, "warmup_seconds": round(ref_warm, 2),
+                    "ray_decimation": False, "mesh_simplification": False,
+                    "diffraction": True, "max_diffraction_order": 10,
+                    "warmup_seconds": round(ref_warm, 2),
+                    "lod_warmup_seconds": round(ref_lod_warm, 2),
                 },
+                "lod_rt60_delta_pct": round(lod_rt60_delta_pct, 2),
+                "reverb_value": round(reverb_value, 2),
+                "reverb_rt60_seconds": round(reverb_rt60, 3),
+                "stages": stages,
                 "bench_room_rt60_seconds": round(rt60, 3),
                 "pipeline_value": round(pipeline_value, 2),
                 "pipeline_peak": round(peak, 2),
@@ -532,9 +721,12 @@ def main():
                 "pipeline_link_efficiency_pct": round(pipeline_link_eff, 1),
                 "aug_on_value": round(aug_on_value, 2),
                 "aug_off_value": round(aug_off_value, 2),
+                "aug_on_runs": [round(v, 2) for v in aug_on_runs],
+                "aug_off_runs": [round(v, 2) for v in aug_off_runs],
                 "aug_overhead_pct": round(
                     100.0 * (aug_off_value / max(aug_on_value, 1e-9) - 1.0), 1
                 ),
+                **fx_chip_value,
                 "easy_box_value": round(box_value, 2),
                 "host_cpu_cores": cores,
                 "note": (
@@ -554,17 +746,28 @@ def main():
                     "pipeline_link_efficiency_pct says how close the pipeline "
                     "runs to that floor. On a PCIe host (GB/s) the floor "
                     "vanishes and the pipeline tracks the chip number. "
-                    "ref_config_value = the "
-                    "reference rlr default acoustics (4 s IR, depth 200, no "
-                    "decimation); bench_room_rt60_seconds quantifies why the "
-                    "production row's 1 s IR window is lossless for this room. "
-                    "aug_on/off_value = the pipeline with heavy per-event FX "
-                    "(phase-vocoder pitch shift + 8-band EQ + compressor, one "
-                    "sampled per event) vs without; ops.fx_dsp auto-probes the "
-                    "device link and runs FX on chip only when the roundtrip "
-                    "is PCIe-fast — behind this dev tunnel (~0.5 s/roundtrip) "
-                    "it keeps host numpy, so aug overhead here measures the "
-                    "1-core host, not the chip path."
+                    "ref_config_value = the reference rlr SERIALIZED defaults "
+                    "(4 s IR, depth 200, 5000 rays, diffraction on, "
+                    "mesh_simplification OFF — the stochastic tail traces the "
+                    "full 110k-face mesh; the dense TPU ray x face kernels pay "
+                    "O(F) where the reference's C++ BVH pays O(log F)). "
+                    "ref_config_lod_value = same acoustics with the engine's "
+                    "acoustic-LOD acceleration (Sabine-corrected vertex "
+                    "clustering; lod_rt60_delta_pct quantifies its fidelity "
+                    "on this room). bench_room_rt60_seconds quantifies why "
+                    "the production row's 1 s IR window is lossless here; "
+                    "reverb_value tracks the honest long-tail cost on a "
+                    "low-absorption variant (reverb_rt60_seconds) with a "
+                    "matching 4 s window. stages = device-time attribution "
+                    "(trace vs stems) + a first-hit VPU-utilisation proxy "
+                    "(the tracer is element-wise by design: matmul MFU would "
+                    "read ~0, so utilisation reports against the VPU). "
+                    "aug_on/off_value = the POOLED pipeline with heavy "
+                    "per-event FX (phase-vocoder pitch shift + 8-band EQ + "
+                    "compressor) applied in the prep workers vs without, "
+                    "medians of 3; fx_chip_* = the same chain forced through "
+                    "ops.fx_jax on the device vs host numpy (the auto policy "
+                    "keeps numpy behind this dev tunnel's ~0.5 s roundtrip)."
                 ),
                 "config": {
                     "ir_seconds": IR_SECONDS,

@@ -25,6 +25,7 @@ def make_scene(fg_root, seed):
             rlr_kwargs=dict(
                 indirect_ray_count=200, indirect_ray_depth=6,
                 max_ir_length=0.15, mesh_simplification=True,
+                diffraction=False,  # parity default ON; pinned off for CPU test speed
             ),
         ),
     )

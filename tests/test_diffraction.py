@@ -170,3 +170,109 @@ def test_worldstate_diffraction_config(tmp_path):
         irs[flag] = ws.irs["m"]
     assert not np.allclose(irs[True], irs[False])
     assert np.sum(irs[True] ** 2) > np.sum(irs[False] ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Multi-order diffraction (rlr `max_diffraction_order`)
+# ---------------------------------------------------------------------------
+
+def _room_two_barriers():
+    """A 12x4x3 room with TWO full-width barriers: x=4 blocks z<2 (gap at the
+    top), x=8 blocks z>1 (gap at the bottom). Source x=2, listener x=10: no
+    single bend clears both (a bend on the bisecting plane x=6 high enough to
+    clear A lands its listener leg inside B), but a 2-bend path over A then
+    under B exists."""
+    room = box_mesh(extents=[12.0, 4.0, 3.0], center=[6.0, 2.0, 1.5])
+    quad_a = np.array([[4.0, 0, 0], [4.0, 4, 0], [4.0, 4, 2], [4.0, 0, 2]])
+    quad_b = np.array([[8.0, 0, 1], [8.0, 4, 1], [8.0, 4, 3], [8.0, 0, 3]])
+    f4 = np.array([[0, 1, 2], [0, 2, 3], [0, 2, 1], [0, 3, 2]])
+    verts = np.concatenate([room.vertices, quad_a, quad_b])
+    faces = np.concatenate(
+        [room.faces, f4 + len(room.vertices), f4 + len(room.vertices) + 4]
+    )
+    return TriMesh(verts, faces.astype(np.int32))
+
+
+SRC2 = np.array([2.0, 2.0, 1.2], np.float32)
+LIS2 = np.array([[10.0, 2.0, 1.2]], np.float32)
+
+
+def _diffr(mesh, order):
+    tris = jnp.asarray(mesh.triangles.astype(np.float32))
+    return np.asarray(
+        diffracted_path_ir(
+            tris, jnp.asarray(SRC2), jnp.asarray(LIS2), jnp.asarray(BANDS),
+            n_samples=SR, sr=SR, order=order,
+        )
+    )
+
+
+def test_double_barrier_needs_second_order():
+    mesh = _room_two_barriers()
+    ir1 = _diffr(mesh, order=1)
+    ir4 = _diffr(mesh, order=4)
+    # No single mid-plane bend clears both screens; two bends do.
+    assert np.abs(ir1).max() == 0.0
+    assert np.abs(ir4).max() > 1e-8
+    # Arrival in the plausible 2-bend window: the continuous optimum is
+    # ~8.4 m, the bend lattice finds <= ~10.5 m (vs 8 m direct).
+    peak = int(np.argmax(np.abs(ir4[0])))
+    assert 8.1 / C * SR < peak < 10.8 / C * SR
+
+
+def test_single_barrier_order2_matches_order1_geometry():
+    """On the single-barrier room, the graph search must find (approximately)
+    the same over-the-top detour as the 1-bend search: arrival within a few
+    ms and band tilt still monotone."""
+    mesh = _room_with_barrier()
+    tris = jnp.asarray(mesh.triangles.astype(np.float32))
+    ir2 = np.asarray(
+        diffracted_path_ir(
+            tris, jnp.asarray(SRC), jnp.asarray(LIS), jnp.asarray(BANDS),
+            n_samples=SR // 2, sr=SR, order=4,
+        )
+    )
+    assert np.abs(ir2).max() > 1e-8
+    edge = np.array([4.0, 2.0, 2.0])
+    expected = (np.linalg.norm(edge - SRC) + np.linalg.norm(LIS[0] - edge)) / C * SR
+    peak = int(np.argmax(np.abs(ir2[0])))
+    assert abs(peak - expected) < 140  # lattice resolution
+    spec = np.fft.rfft(ir2[0])
+    freqs = np.arange(len(spec)) * SR / len(ir2[0])
+    lo = np.abs(spec[(freqs > 200) & (freqs < 320)]).mean()
+    hi = np.abs(spec[(freqs > 3200) & (freqs < 5000)]).mean()
+    assert lo > hi  # knife-edge LF tilt survives multi-bend attenuation
+
+
+def test_visible_pair_zero_any_order():
+    mesh = box_mesh(extents=[12.0, 4.0, 3.0], center=[6.0, 2.0, 1.5])
+    tris = jnp.asarray(mesh.triangles.astype(np.float32))
+    ir = np.asarray(
+        diffracted_path_ir(
+            tris, jnp.asarray(SRC2), jnp.asarray(LIS2), jnp.asarray(BANDS),
+            n_samples=SR // 2, sr=SR, order=3,
+        )
+    )
+    assert np.abs(ir).max() == 0.0
+
+
+def test_engine_config_diffraction_defaults_match_reference():
+    """The engine defaults mirror the reference rlr serialisation:
+    diffraction on, max_diffraction_order 10 (reference
+    tests/test_worldstate_rlr.py:811,824)."""
+    from audiblelight_tpu.worldstate.mesh_backend import WorldStateRLR
+
+    ws = WorldStateRLR(
+        mesh=box_mesh(extents=[4, 4, 3], center=[2, 2, 1.5]),
+        sample_rate=SR, seed=0,
+    )
+    cfg = ws.cfg.to_dict()
+    assert cfg["diffraction"] is True
+    assert cfg["max_diffraction_order"] == 10
+    # round-trips through to_dict/from_dict
+    ws2 = WorldStateRLR(
+        mesh=box_mesh(extents=[4, 4, 3], center=[2, 2, 1.5]),
+        sample_rate=SR, seed=0,
+        rlr_kwargs=dict(diffraction=True, max_diffraction_order=3),
+    )
+    assert ws2.cfg.to_dict()["max_diffraction_order"] == 3

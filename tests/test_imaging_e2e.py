@@ -52,6 +52,7 @@ def test_acoustic_image_peak_matches_source_direction(fg_dir, tmp_path):
                 indirect_ray_depth=6,
                 max_ir_length=0.15,
                 mesh_simplification=400,
+                diffraction=False,  # parity default ON; pinned off for CPU test speed
             ),
         ),
     )

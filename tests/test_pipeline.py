@@ -113,6 +113,7 @@ def make_rlr_scene(fg_dir, seed=0):
             seed=seed,
             rlr_kwargs=dict(
                 indirect_ray_count=200, indirect_ray_depth=6, max_ir_length=0.15,
+                diffraction=False,  # parity default ON; pinned off for CPU test speed
             ),
         ),
     )
@@ -199,6 +200,7 @@ def make_scanned_scene(fg_dir, scan_mesh, seed=0):
             rlr_kwargs=dict(
                 indirect_ray_count=200, indirect_ray_depth=6,
                 max_ir_length=0.15, mesh_simplification=True,
+                diffraction=False,  # parity default ON; pinned off for CPU test speed
             ),
         ),
     )

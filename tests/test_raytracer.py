@@ -521,3 +521,22 @@ def test_binaural_direct_itd_and_shadow():
     ))
     e_l, e_r = float((ir_f[0] ** 2).sum()), float((ir_f[1] ** 2).sum())
     assert abs(e_l - e_r) / max(e_l, e_r) < 0.05
+
+
+def test_envelope_window_upsample_matches_gather():
+    """The TPU window-matmul envelope upsample equals the gather
+    interpolation (head clip included) for integer bin_samples.
+
+    Tolerance note: the gather path computes frac = t - floor(t) with
+    t = n / k in f32, whose cancellation at large n costs up to ulp(n/k)
+    ~ 1e-4 of frac; the window path's per-phase weights are exact. The
+    bound below is the GATHER's own rounding, not the window's."""
+    import jax
+    from audiblelight_tpu.rir.raytracer import _interp_envelope
+
+    rng = np.random.default_rng(7)
+    for n_bins, k, n_samples in ((2001, 48, 96000), (13, 4, 45), (6, 3, 18)):
+        env = jnp.asarray(rng.uniform(0.0, 1.0, (2, 3, n_bins)).astype(np.float32))
+        g = np.asarray(_interp_envelope(env, n_samples, float(k), window=False))
+        w = np.asarray(_interp_envelope(env, n_samples, float(k), window=True))
+        np.testing.assert_allclose(w, g, atol=3e-4)

@@ -55,6 +55,11 @@ def _build_scene(scan_mesh, fg_dir, **rlr_extra):
                 indirect_ray_count=300,
                 indirect_ray_depth=8,
                 max_ir_length=0.2,
+                # Diffraction defaults ON (reference rlr parity) but its
+                # multi-bend graph costs minutes per trace on the CPU fallback
+                # occlusion path at 110k faces; tests/test_diffraction.py owns
+                # that coverage on purpose-built small rooms.
+                diffraction=False,
                 **rlr_extra,
             ),
         ),

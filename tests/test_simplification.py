@@ -119,6 +119,7 @@ def _build_state(mesh, **rlr_extra):
             indirect_ray_count=200,
             indirect_ray_depth=6,
             max_ir_length=0.2,
+            diffraction=False,  # parity default ON; pinned off for CPU test speed
             **rlr_extra,
         ),
     )
