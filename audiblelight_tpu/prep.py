@@ -235,6 +235,7 @@ def render_prepped_scenes(
     sr: Optional[int] = None,
     mesh=None,
     mesh_axis: str = "scene",
+    stats: Optional[dict] = None,
 ) -> int:
     """Drive the fused whole-scene-to-WAV program over a stream of
     PreppedScenes (typically a ScenePrepPool.imap).
@@ -256,10 +257,16 @@ def render_prepped_scenes(
     multiple of the axis size (a trailing partial group falls back to
     single-device dispatch).
 
-    Returns the number of scenes completed.
+    `stats` (optional dict) receives a wall-clock decomposition, filled in
+    place: prep_wait_s (time the dispatch thread starved waiting on the prep
+    pool), dispatch_s (input staging + program dispatch), pull_s (device ->
+    host payload waits on the completion thread), complete_s (file writes),
+    n_scenes. The stage sums OVERLAP (three threads), so they do not add up
+    to the wall time — the point is seeing which stage saturates.
     """
     import queue as _queue
     import threading
+    import time as _time
 
     done = 0
     errors: list = []
@@ -283,10 +290,14 @@ def render_prepped_scenes(
                 return
             try:
                 group, q = item
+                t0 = _time.time()
                 qn = np.asarray(q)  # one pull for the group
+                _stats["pull_s"] += _time.time() - t0
+                t0 = _time.time()
                 for i, prepped in enumerate(group):
                     complete(prepped, qn[i])
                     done += 1
+                _stats["complete_s"] += _time.time() - t0
             except Exception as exc:
                 errors.append(exc)
             finally:
@@ -324,17 +335,30 @@ def render_prepped_scenes(
         return r.render_mix_batch(inputs, plans, extras)
 
     def _emit(group, bucket):
+        t0 = _time.time()
         q = _dispatch(group, bucket)
         try:
             q.copy_to_host_async()
         except (AttributeError, NotImplementedError):  # pragma: no cover
             pass
+        _stats["dispatch_s"] += _time.time() - t0
         work.put((group, q))
         if errors:
             raise errors[0]
 
+    _stats = {
+        "prep_wait_s": 0.0, "dispatch_s": 0.0, "pull_s": 0.0,
+        "complete_s": 0.0, "n_scenes": 0,
+    }
     try:
-        for prepped in prepped_iter:
+        it = iter(prepped_iter)
+        while True:
+            t0 = _time.time()
+            prepped = next(it, None)
+            _stats["prep_wait_s"] += _time.time() - t0
+            if prepped is None:
+                break
+            _stats["n_scenes"] += 1
             bucket = getattr(prepped, "bucket_sources", 0)
             if group and bucket != group_bucket:
                 _emit(group, group_bucket)
@@ -352,6 +376,8 @@ def render_prepped_scenes(
     finally:
         work.put(None)
         thread.join()
+        if stats is not None:
+            stats.update(_stats)
     return done
 
 

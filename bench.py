@@ -232,6 +232,7 @@ def run_production_pooled(mesh, fg_root, out_dir: Path, n_scenes, seed0, workers
             (out_dir / f"scene{seed0}_{i}_{alias}.csv").write_text(text)
         (out_dir / f"scene{seed0}_{i}.json").write_text(prepped.scene_json)
 
+    stats: dict = {}
     fb = 4
     if device_mesh is not None:
         n_dev = int(device_mesh.shape["scene"])
@@ -269,10 +270,11 @@ def run_production_pooled(mesh, fg_root, out_dir: Path, n_scenes, seed0, workers
             fused_batch=fb,
             max_in_flight=8,
             mesh=device_mesh,
+            stats=stats,
         )
         elapsed = time.time() - t0
     assert n == n_scenes
-    return elapsed
+    return elapsed, stats
 
 
 def run_chip_only(mesh, fg_root, n_scenes, seed0, simplify=True, **factory_kwargs):
@@ -551,15 +553,17 @@ def main():
         device_mesh = Mesh(np.array(devs[: cli.mesh_devices]), ("scene",))
     rates = []
     link_probes = []
+    pipe_stats = []
     for r in range(N_RUNS):
         # Probe the link adjacent to each run: its rate swings 2-3x on this
         # tunnel, so the bound must reflect the state the run actually saw
         link_probes.append(measure_d2h_link())
-        elapsed = run_production_pooled(
+        elapsed, pstats = run_production_pooled(
             scan, fg_root, out_dir, N_MEASURE, seed0=1000 + 100 * r,
             workers=auto_workers, device_mesh=device_mesh,
         )
         rates.append(N_MEASURE * SCENE_SECONDS / elapsed)
+        pipe_stats.append(pstats)
     pipeline_value = statistics.median(rates)
     peak = max(rates)
     d2h_mbps = statistics.median(link_probes)
@@ -573,7 +577,7 @@ def main():
     # ---- cores -> throughput curve (the host-scaling evidence) -------------
     worker_curve = {}
     for w in sorted({0, 1, 2, auto_workers}):
-        el = run_production_pooled(
+        el, _ = run_production_pooled(
             scan, fg_root, out_dir, N_MEASURE, seed0=4000 + 37 * w, workers=w
         )
         worker_curve[str(w)] = round(N_MEASURE * SCENE_SECONDS / el, 2)
@@ -659,12 +663,12 @@ def main():
                    augmentations=augs)  # warm aug programs
     aug_on_runs, aug_off_runs = [], []
     for r in range(3):
-        el = run_production_pooled(
+        el, _ = run_production_pooled(
             scan, fg_root, out_dir, N_MEASURE, seed0=7700 + 10 * r,
             workers=auto_workers, augmentations=True,
         )
         aug_on_runs.append(N_MEASURE * SCENE_SECONDS / el)
-        el = run_production_pooled(
+        el, _ = run_production_pooled(
             scan, fg_root, out_dir, N_MEASURE, seed0=7800 + 10 * r,
             workers=auto_workers,
         )
@@ -719,6 +723,14 @@ def main():
                 "d2h_probe_values": [round(v, 1) for v in link_probes],
                 "pipeline_link_bound": round(pipeline_link_bound, 2),
                 "pipeline_link_efficiency_pct": round(pipeline_link_eff, 1),
+                # per-scene wall decomposition of the MEDIAN run's threads
+                # (stages overlap across 3 threads; see prep.render_prepped_scenes)
+                "pipeline_stage_s_per_scene": {
+                    k: round(v / max(ps.get("n_scenes", 1), 1), 3)
+                    for ps in [pipe_stats[rates.index(pipeline_value)]
+                               if pipeline_value in rates else pipe_stats[0]]
+                    for k, v in ps.items() if k != "n_scenes"
+                },
                 "aug_on_value": round(aug_on_value, 2),
                 "aug_off_value": round(aug_off_value, 2),
                 "aug_on_runs": [round(v, 2) for v in aug_on_runs],

@@ -8,6 +8,7 @@ WorldStateSOFA — runs fully offline via audiblelight_tpu.io.sofa.write_sofa.
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -95,6 +96,72 @@ def convert_npy_dir(in_dir: Path, out_path: Path, sample_rate: float, name: str)
     return convert_rirs_to_sofa(irs, src, lst, rec, sample_rate, out_path, name)
 
 
+# EM32 capsule indices forming the AmbeoVR-like tetrahedral 'mic' subset of
+# the Eigenmike (the reference's channel pick for MIC-format SOFA files,
+# reference scripts/download_data/download_rirs.py:100).
+TETRA_CHANS_IN_EM32 = (5, 9, 25, 21)
+
+# Tetrahedral capsule positions for the EM32 subset (metres, relative to the
+# array centre) — matches micarrays.AmbeoVR's geometry scale.
+_TETRA_RECEIVERS = np.array(
+    [
+        [0.02432, 0.02432, 0.02432],
+        [0.02432, -0.02432, -0.02432],
+        [-0.02432, 0.02432, -0.02432],
+        [-0.02432, -0.02432, 0.02432],
+    ]
+)
+
+
+def metu_grid_to_metres(xyz_digits: str) -> tuple:
+    """METU Sparg directory names are digit triples indexing a 0.5 m grid
+    centred on the em32 array: x/y count DOWN from 3, z counts UP from 2
+    (reference scripts/download_data/download_rirs.py:431-436)."""
+    x_d, y_d, z_d = xyz_digits
+    return ((3 - int(x_d)) * 0.5, (3 - int(y_d)) * 0.5, (int(z_d) - 2) * 0.5)
+
+
+def prepare_metu(dataset_path: Path, dest_path_sofa: Path) -> Path:
+    """Convert an extracted METU Sparg `spargair/em32` tree to metu_mic.sofa.
+
+    Layout: one directory per source grid position (digit-triple name), each
+    holding per-channel IR WAVs `IR{ch:05d}.wav` (1-based channel numbers);
+    the MIC-format SOFA keeps the tetrahedral EM32 channel subset, matching
+    the reference pipeline's output
+    (reference scripts/download_data/download_rirs.py:427-468).
+    """
+    from audiblelight_tpu.io.audio import load_audio
+
+    spargpath = Path(dataset_path) / "spargair" / "em32"
+    positions = sorted(p for p in os.listdir(spargpath) if len(p) == 3)
+    if not positions:
+        raise FileNotFoundError(f"no METU grid positions under {spargpath}")
+
+    irs = []
+    xyzs = []
+    sr = None
+    for xyz in positions:
+        xyzs.append(metu_grid_to_metres(xyz))
+        chans = []
+        for ch in TETRA_CHANS_IN_EM32:
+            wav = spargpath / xyz / f"IR{ch + 1:05d}.wav"
+            audio, sr = load_audio(wav, sr=None, mono=True)
+            chans.append(np.asarray(audio, dtype=np.float32))
+        irs.append(np.stack(chans))
+
+    dest_path_sofa = Path(dest_path_sofa)
+    dest_path_sofa.mkdir(parents=True, exist_ok=True)
+    return convert_rirs_to_sofa(
+        np.stack(irs),
+        np.asarray(xyzs, dtype=np.float64),
+        np.zeros((1, 3)),
+        _TETRA_RECEIVERS,
+        float(sr),
+        dest_path_sofa / "metu_mic.sofa",
+        listener_short_name="em32",
+    )
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -111,6 +178,13 @@ def main():
     tau.add_argument("--format", choices=["mic", "foa"], default="mic")
     tau.add_argument("--sample-rate", type=float, default=24000)
 
+    metu = sub.add_parser(
+        "convert-metu", help="convert an extracted METU spargair tree to SOFA (offline)"
+    )
+    metu.add_argument("--dataset-dir", type=str, required=True,
+                      help="directory containing spargair/em32")
+    metu.add_argument("--output-dir", type=str, required=True)
+
     cv = sub.add_parser("convert", help="convert local .npy RIRs to SOFA (offline)")
     cv.add_argument("--input-dir", type=str, required=True)
     cv.add_argument("--output", type=str, required=True)
@@ -125,6 +199,9 @@ def main():
         convert_tau_to_sofa(
             Path(args.tau_db_dir), Path(args.output_dir), args.format, args.sample_rate
         )
+        return
+    if args.cmd == "convert-metu":
+        prepare_metu(Path(args.dataset_dir), Path(args.output_dir))
         return
     convert_npy_dir(Path(args.input_dir), Path(args.output), args.sample_rate, args.name)
 

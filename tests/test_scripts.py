@@ -553,3 +553,64 @@ def test_seld_pooled_multichip_matches_single_device(fg_dir, tmp_path):
     assert len(csvs_a) == 8
     for rel in csvs_a:
         assert (out_a / rel).read_bytes() == (out_b / rel).read_bytes()
+
+
+def test_metu_spargair_to_sofa_offline(tmp_path):
+    """METU Sparg conversion on a synthetic spargair/em32 tree with the real
+    layout: digit-triple position directories holding per-channel
+    IR{ch:05d}.wav files. Validates the tetrahedral channel pick, the 0.5 m
+    grid -> metres position rule, and the SOFA round trip through
+    WorldStateSOFA-compatible fields."""
+    import importlib.util as _ilu
+
+    import numpy as np
+
+    from audiblelight_tpu.io.audio import wav_write
+    from audiblelight_tpu.io.sofa import SOFAFile
+
+    spec = _ilu.spec_from_file_location(
+        "download_rirs", Path(__file__).resolve().parents[1]
+        / "scripts" / "download_data" / "download_rirs.py"
+    )
+    dr = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(dr)
+
+    rng = np.random.default_rng(5)
+    sr = 48000
+    n = 96
+    positions = ["020", "342", "132"]
+    em32 = tmp_path / "spargair" / "em32"
+    ir_bank = {}
+    for xyz in positions:
+        d = em32 / xyz
+        d.mkdir(parents=True)
+        # full 32-channel layout on disk; the converter must pick the tetra set
+        for ch in range(32):
+            sig = rng.standard_normal(n).astype(np.float32) * 0.3
+            wav_write(d / f"IR{ch + 1:05d}.wav", sig, sr)
+            ir_bank[(xyz, ch)] = sig
+
+    out = dr.prepare_metu(tmp_path, tmp_path / "sofa")
+    assert out.name == "metu_mic.sofa"
+
+    with SOFAFile(out) as sofa:
+        irs = sofa.get_variable("Data.IR")
+        src = sofa.get_variable("SourcePosition")
+        sr_read = float(np.asarray(sofa.get_variable("Data.SamplingRate")).ravel()[0])
+    assert irs.shape == (3, 4, n)
+    assert int(sr_read) == sr
+
+    # grid rule: "020" -> x=(3-0)*0.5, y=(3-2)*0.5, z=(0-2)*0.5
+    order = [positions.index(p) for p in sorted(positions)]
+    exp = {
+        "020": (1.5, 0.5, -1.0),
+        "342": ((3 - 3) * 0.5, (3 - 4) * 0.5, (2 - 2) * 0.5),
+        "132": (1.0, (3 - 3) * 0.5, 0.0),
+    }
+    for i, xyz in enumerate(sorted(positions)):
+        np.testing.assert_allclose(src[i], exp[xyz], atol=1e-9)
+        # tetra channel subset, in order (5, 9, 25, 21), 16-bit WAV round trip
+        for j, ch in enumerate(dr.TETRA_CHANS_IN_EM32):
+            np.testing.assert_allclose(
+                irs[i, j], ir_bank[(xyz, ch)], atol=2.0 / 32767.0
+            )
