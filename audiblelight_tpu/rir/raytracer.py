@@ -1086,7 +1086,14 @@ def diffracted_path_ir(
 
     # Fine single-bend search first — a 1-bend detour, when one exists, both
     # dominates (one knife edge attenuates least) and is found at the mid-
-    # plane lattice's full resolution.
+    # plane lattice's full resolution. CANDIDATE legs check against
+    # `tris_graph` when given (an acoustic LOD on big meshes): 16 sources x
+    # 385 room-length segments through the full-mesh grid DDA cost ~180 ms
+    # per scene, while bend candidates only care about wall-scale blockers.
+    # The direct-path TRIGGER below stays on the exact mesh — it must agree
+    # with the exact direct path it complements.
+    leg_tris = tris if tris_graph is None else tris_graph
+    leg_accel = accel if tris_graph is None else None
     d, axis, u, v = _diffraction_frame(source_pos, center)
     mid = 0.5 * (source_pos + center)
     angles = jnp.arange(n_angles) * (2.0 * jnp.pi / n_angles)
@@ -1108,10 +1115,10 @@ def diffracted_path_ir(
     ext1 = bends + over * (bends - source_pos[None]) / jnp.maximum(d1, 1e-9)[:, None]
     ext2 = bends + over * (bends - center[None]) / jnp.maximum(d2c, 1e-9)[:, None]
     occ1 = segments_occluded(
-        jnp.broadcast_to(source_pos, (k, 3)), ext1, tris, accel=accel
+        jnp.broadcast_to(source_pos, (k, 3)), ext1, leg_tris, accel=leg_accel
     )
     occ2 = segments_occluded(
-        jnp.broadcast_to(center, (k, 3)), ext2, tris, accel=accel
+        jnp.broadcast_to(center, (k, 3)), ext2, leg_tris, accel=leg_accel
     )
     detour = jnp.where(~occ1 & ~occ2, d1 + d2c, jnp.inf)
     best = jnp.argmin(detour)

@@ -75,7 +75,8 @@ def make_fg_pool(root: Path, n_files: int = 8):
 
 def scene_factory(mesh, fg_root, n_scenes, seed0, simplify,
                   ir_seconds=None, max_depth=None, decimate=True,
-                  augmentations=None, material=None, rain=None):
+                  augmentations=None, material=None, rain=None,
+                  transmission=None):
     """Yield DCASE2023-shaped scenes: 4 static + 1 moving event, AmbeoVR rig.
 
     Event/trajectory parameters are pinned so the traced source count lands in
@@ -95,6 +96,8 @@ def scene_factory(mesh, fg_root, n_scenes, seed0, simplify,
     )
     if rain is not None:
         rlr["rain_visibility"] = rain
+    if transmission is not None:
+        rlr["transmission"] = transmission
     for i in range(n_scenes):
         scene = Scene(
             duration=SCENE_SECONDS,
@@ -615,12 +618,12 @@ def main():
     ref_elapsed, ref_warm = run_chip_only(
         scan, fg_root, 2, seed0=6000,
         ir_seconds=4.0, max_depth=200, decimate=False, simplify=False,
-        rain="face",
+        rain="face", transmission=True,
     )
     ref_config_value = 2 * SCENE_SECONDS / ref_elapsed
     ref_lod_elapsed, ref_lod_warm = run_chip_only(
         scan, fg_root, N_MEASURE, seed0=6100,
-        ir_seconds=4.0, max_depth=200, decimate=False,
+        ir_seconds=4.0, max_depth=200, decimate=False, transmission=True,
     )
     ref_config_lod_value = N_MEASURE * SCENE_SECONDS / ref_lod_elapsed
     rt60 = measure_rt60(scan, fg_root, seed0=6500)
@@ -706,6 +709,7 @@ def main():
                 "ref_config": {
                     "ir_seconds": 4.0, "n_rays": N_RAYS, "max_depth": 200,
                     "ray_decimation": False, "mesh_simplification": False,
+                    "transmission": True,
                     "diffraction": True, "max_diffraction_order": 10,
                     "warmup_seconds": round(ref_warm, 2),
                     "lod_warmup_seconds": round(ref_lod_warm, 2),
