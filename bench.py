@@ -345,8 +345,10 @@ def measure_fx_chip(n_clips: int = 8, reps: int = 3) -> dict:
     def chain(x):
         y = fx_dsp.pitch_shift(x, SR, 3.0)
         for i in range(8):
-            y = fx_dsp.biquad(y, "peak", SR, 150.0 * (2.0 ** i), gain_db=2.5)
-        return fx_dsp.compress(y, SR, threshold_db=-18.0, ratio=3.0)
+            freq = min(150.0 * (2.0 ** i), 0.42 * SR)  # clamp under Nyquist
+            y = fx_dsp.biquad(y, "peak", SR, freq, gain_db=2.5)
+        return fx_dsp.compress(y, SR, threshold_db=-18.0, ratio=3.0,
+                               attack_ms=5.0, release_ms=80.0)
 
     out = {}
     old = _os.environ.get("AUDIBLELIGHT_FX_BACKEND")

@@ -116,6 +116,9 @@ def build_backend_kwargs(args, rng, room=None):
             # Opt-in (--ray-decimation) TPU fast path; default False = the
             # reference rlr behaviour (every ray traced to full depth).
             ray_decimation=args.ray_decimation,
+            # Knife-edge diffraction for occluded pairs (reference rlr parity
+            # default: on, order 10); disable with --no-diffraction.
+            diffraction=args.diffraction,
         )
         if args.rays is not None:
             rlr_kwargs["indirect_ray_count"] = args.rays
@@ -575,6 +578,11 @@ def main():
         help="progressive Russian-roulette wavefront decimation for deep "
         "traces (~40%% faster bounce loop, adds bounded late-tail Monte-Carlo "
         "noise); default off = the reference rlr behaviour",
+    )
+    parser.add_argument(
+        "--diffraction", action=argparse.BooleanOptionalAction, default=True,
+        help="knife-edge diffraction for occluded direct paths (reference rlr "
+        "parity default: on, max order 10)",
     )
     parser.add_argument(
         "--device-mix", action=argparse.BooleanOptionalAction, default=True,
