@@ -200,10 +200,19 @@ def make_prep(fg_root, simplify, plan_kwargs, buckets, bucket_sources,
     augs = heavy_fx_set() if augmentations else None
 
     def prep(index, seed):
-        scene = next(iter(scene_factory(
-            mesh, Path(fg_root), 1, seed, simplify, augmentations=augs,
-        )))
-        return prep_scene(scene, index, plan_kwargs, buckets, bucket_sources)
+        # Unlucky seeds can exhaust placement/overlap sampling (the SELD
+        # script retries the same way); bump the seed and try again.
+        last_exc = None
+        for attempt in range(8):
+            try:
+                scene = next(iter(scene_factory(
+                    mesh, Path(fg_root), 1, seed + 100003 * attempt, simplify,
+                    augmentations=augs,
+                )))
+                return prep_scene(scene, index, plan_kwargs, buckets, bucket_sources)
+            except ValueError as exc:
+                last_exc = exc
+        raise last_exc
 
     return prep
 
